@@ -1,0 +1,331 @@
+"""Image/video -> model-ready tensors (Qwen2.5-VL grid token contract).
+
+Behavioral reference: vision_process.py:99-142 (fetch_image), 279-333
+(fetch_video), 354-379 (process_vision_info) and the HF Qwen2VL image
+processor patchify (image_processing_qwen2_vl.py:_preprocess).  The TPU-first
+difference: decode stays on host, but resize/normalize/patchify run as one
+jitted device function (`_resize_normalize_patchify`) with static shapes so
+XLA fuses the whole post-decode pipeline into a few HBM-friendly kernels.
+"""
+
+from __future__ import annotations
+
+import base64
+import functools
+from io import BytesIO
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spacer_tpu.vision.smart import (
+    FRAME_FACTOR,
+    IMAGE_FACTOR,
+    MAX_PIXELS,
+    MIN_PIXELS,
+    ceil_by_factor,
+    smart_resize,
+    video_frame_pixel_budget,
+)
+
+OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+# Default Qwen2.5-VL vision geometry.
+PATCH_SIZE = 14
+TEMPORAL_PATCH_SIZE = 2
+MERGE_SIZE = 2
+
+
+# ---------------------------------------------------------------------------
+# Patchify (pure reshape/transpose; works on numpy or jax arrays)
+# ---------------------------------------------------------------------------
+
+
+def patchify_frames(
+    frames,
+    patch_size: int = PATCH_SIZE,
+    temporal_patch_size: int = TEMPORAL_PATCH_SIZE,
+    merge_size: int = MERGE_SIZE,
+):
+    """(T, C, H, W) normalized frames -> (grid_t*grid_h*grid_w, C*tp*p*p), grid.
+
+    Matches the HF Qwen2VL image processor flatten order
+    (image_processing_qwen2_vl.py _preprocess: reshape + transpose
+    (0,3,6,4,7,2,1,5,8)).  Accepts numpy or jax arrays.
+    """
+    T, C, H, W = frames.shape
+    if T % temporal_patch_size != 0:
+        reps = temporal_patch_size - (T % temporal_patch_size)
+        tail = frames[-1:]
+        frames = _concat([frames] + [tail] * reps, axis=0)
+        T = frames.shape[0]
+    grid_t = T // temporal_patch_size
+    grid_h, grid_w = H // patch_size, W // patch_size
+    patches = frames.reshape(
+        grid_t,
+        temporal_patch_size,
+        C,
+        grid_h // merge_size,
+        merge_size,
+        patch_size,
+        grid_w // merge_size,
+        merge_size,
+        patch_size,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = patches.reshape(
+        grid_t * grid_h * grid_w, C * temporal_patch_size * patch_size * patch_size
+    )
+    return flat, (grid_t, grid_h, grid_w)
+
+
+def _concat(xs, axis):
+    if isinstance(xs[0], np.ndarray):
+        return np.concatenate(xs, axis=axis)
+    return jnp.concatenate(xs, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Jitted device pipeline: resize (bicubic, antialias) + normalize + patchify
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "patch_size", "temporal_patch_size", "merge_size"),
+)
+def _resize_normalize_patchify(
+    frames,  # (T, H, W, C) uint8 or float in [0, 255]
+    out_h: int,
+    out_w: int,
+    patch_size: int = PATCH_SIZE,
+    temporal_patch_size: int = TEMPORAL_PATCH_SIZE,
+    merge_size: int = MERGE_SIZE,
+):
+    x = frames.astype(jnp.float32)
+    T = x.shape[0]
+    if (x.shape[1], x.shape[2]) != (out_h, out_w):
+        x = jax.image.resize(
+            x, (T, out_h, out_w, x.shape[3]), method="bicubic", antialias=True
+        )
+    x = x * (1.0 / 255.0)
+    mean = jnp.asarray(OPENAI_CLIP_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(OPENAI_CLIP_STD, dtype=jnp.float32)
+    x = (x - mean) / std
+    x = x.transpose(0, 3, 1, 2)  # TCHW
+    flat, _ = patchify_frames(x, patch_size, temporal_patch_size, merge_size)
+    return flat
+
+
+def preprocess_frames(
+    frames: np.ndarray,
+    min_pixels: int | None = None,
+    max_pixels: float | None = None,
+    patch_size: int = PATCH_SIZE,
+    temporal_patch_size: int = TEMPORAL_PATCH_SIZE,
+    merge_size: int = MERGE_SIZE,
+    resized_hw: tuple[int, int] | None = None,
+    device: bool = True,
+):
+    """Full frame pipeline: (T, H, W, C) uint8 -> (pixel_values, grid_thw).
+
+    `resized_hw` pins the target resolution (else smart_resize decides).
+    With `device=True` the resize/normalize/patchify runs as one jitted XLA
+    program; `device=False` is a pure-numpy reference path for tests.
+    """
+    if frames.ndim != 4:
+        raise ValueError(f"expected (T, H, W, C) frames, got {frames.shape}")
+    T, H, W, C = frames.shape
+    if resized_hw is None:
+        resized_hw = smart_resize(
+            H,
+            W,
+            factor=patch_size * merge_size,
+            min_pixels=min_pixels if min_pixels is not None else MIN_PIXELS,
+            max_pixels=max_pixels if max_pixels is not None else MAX_PIXELS,
+        )
+    out_h, out_w = resized_hw
+    t_padded = ceil_by_factor(T, temporal_patch_size)
+    grid = (
+        t_padded // temporal_patch_size,
+        out_h // patch_size,
+        out_w // patch_size,
+    )
+    if device:
+        flat = _resize_normalize_patchify(
+            frames, out_h, out_w, patch_size, temporal_patch_size, merge_size
+        )
+        return np.asarray(flat), grid
+    # numpy reference path (PIL bicubic resize to mirror the HF processor)
+    from PIL import Image
+
+    resized = np.stack(
+        [
+            np.asarray(
+                Image.fromarray(f.astype(np.uint8)).resize(
+                    (out_w, out_h), Image.BICUBIC
+                )
+            )
+            for f in frames
+        ]
+    ).astype(np.float32)
+    x = resized / 255.0
+    x = (x - np.asarray(OPENAI_CLIP_MEAN, np.float32)) / np.asarray(
+        OPENAI_CLIP_STD, np.float32
+    )
+    x = x.transpose(0, 3, 1, 2)
+    flat, grid2 = patchify_frames(x, patch_size, temporal_patch_size, merge_size)
+    assert grid2 == grid
+    return flat, grid
+
+
+# ---------------------------------------------------------------------------
+# fetch_image / fetch_video / process_vision_info (reference-parity API)
+# ---------------------------------------------------------------------------
+
+
+def _to_rgb(pil_image):
+    from PIL import Image
+
+    if pil_image.mode == "RGBA":
+        bg = Image.new("RGB", pil_image.size, (255, 255, 255))
+        bg.paste(pil_image, mask=pil_image.split()[3])
+        return bg
+    return pil_image.convert("RGB")
+
+
+def fetch_image(ele: dict, size_factor: int = IMAGE_FACTOR):
+    """Load + smart-resize a single image, returning a PIL.Image (parity with
+    vision_process.py:99-142; http(s) URLs are not supported — no egress)."""
+    from PIL import Image
+
+    image = ele.get("image", ele.get("image_url"))
+    if hasattr(image, "convert"):  # PIL image
+        image_obj = image
+    elif isinstance(image, str) and image.startswith("file://"):
+        image_obj = Image.open(image[7:])
+    elif isinstance(image, str) and image.startswith("data:image"):
+        if "base64," in image:
+            _, b64 = image.split("base64,", 1)
+            image_obj = Image.open(BytesIO(base64.b64decode(b64)))
+        else:
+            raise ValueError(f"unsupported data URI: {image[:40]}")
+    elif isinstance(image, str):
+        image_obj = Image.open(image)
+    else:
+        raise ValueError(f"Unrecognized image input: {type(image)}")
+    image_obj = _to_rgb(image_obj)
+    if "resized_height" in ele and "resized_width" in ele:
+        rh, rw = smart_resize(
+            ele["resized_height"], ele["resized_width"], factor=size_factor
+        )
+    else:
+        w, h = image_obj.size
+        rh, rw = smart_resize(
+            h,
+            w,
+            factor=size_factor,
+            min_pixels=ele.get("min_pixels", MIN_PIXELS),
+            max_pixels=ele.get("max_pixels", MAX_PIXELS),
+        )
+    return image_obj.resize((rw, rh))
+
+
+def fetch_video(
+    ele: dict,
+    image_factor: int = IMAGE_FACTOR,
+    return_video_sample_fps: bool = False,
+):
+    """Decode + sample + resize a video (parity with vision_process.py:279-333).
+
+    For a path input returns (frames, sample_fps) where frames is float32
+    (T, C, H, W) already resized to the smart_resize target.  For a list of
+    PIL frames (eval path) returns the padded list of resized PIL images.
+    """
+    if isinstance(ele["video"], str):
+        from spacer_tpu.vision.reader import read_video
+
+        frames, sample_fps = read_video(ele)  # (T, H, W, C) uint8, float fps
+        nframes, height, width = frames.shape[0], frames.shape[1], frames.shape[2]
+        min_pixels, max_pixels = video_frame_pixel_budget(
+            nframes,
+            min_pixels=ele.get("min_pixels"),
+            total_pixels=ele.get("total_pixels"),
+            max_pixels_supposed=ele.get("max_pixels"),
+        )
+        if "resized_height" in ele and "resized_width" in ele:
+            rh, rw = smart_resize(
+                ele["resized_height"], ele["resized_width"], factor=image_factor
+            )
+        else:
+            rh, rw = smart_resize(
+                height, width,
+                factor=image_factor, min_pixels=min_pixels, max_pixels=max_pixels,
+            )
+        resized = jax.image.resize(
+            jnp.asarray(frames, jnp.float32),
+            (nframes, rh, rw, frames.shape[3]),
+            method="bicubic",
+            antialias=True,
+        )
+        video = np.asarray(resized).transpose(0, 3, 1, 2)  # TCHW float32
+        if return_video_sample_fps:
+            return video, sample_fps
+        return video
+    # list/tuple of frames (PIL images or paths)
+    assert isinstance(ele["video"], (list, tuple))
+    info = {k: v for k, v in ele.items() if k not in ("type", "video")}
+    images = [
+        fetch_image({"image": el, **{k: v for k, v in info.items() if k != "fps"}},
+                    size_factor=image_factor)
+        for el in ele["video"]
+    ]
+    nframes = ceil_by_factor(len(images), FRAME_FACTOR)
+    if len(images) < nframes:
+        images.extend([images[-1]] * (nframes - len(images)))
+    if return_video_sample_fps:
+        return images, info.get("fps", 2.0)
+    return images
+
+
+def extract_vision_info(conversations):
+    infos = []
+    if conversations and isinstance(conversations[0], dict):
+        conversations = [conversations]
+    for conversation in conversations:
+        for message in conversation:
+            if isinstance(message.get("content"), list):
+                for ele in message["content"]:
+                    if (
+                        "image" in ele
+                        or "image_url" in ele
+                        or "video" in ele
+                        or ele.get("type") in ("image", "image_url", "video")
+                    ):
+                        infos.append(ele)
+    return infos
+
+
+def process_vision_info(conversations, return_video_kwargs: bool = False):
+    """Walk conversation content; load all images/videos.
+
+    Parity with vision_process.py:354-379: returns (images | None,
+    videos | None[, {'fps': [...]}]).
+    """
+    vision_infos = extract_vision_info(conversations)
+    image_inputs, video_inputs, fps_list = [], [], []
+    for info in vision_infos:
+        if "image" in info or "image_url" in info:
+            image_inputs.append(fetch_image(info))
+        elif "video" in info:
+            video, fps = fetch_video(info, return_video_sample_fps=True)
+            video_inputs.append(video)
+            fps_list.append(fps)
+        else:
+            raise ValueError("image, image_url or video should be in content.")
+    image_inputs = image_inputs or None
+    video_inputs = video_inputs or None
+    if return_video_kwargs:
+        return image_inputs, video_inputs, {"fps": fps_list}
+    return image_inputs, video_inputs

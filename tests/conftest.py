@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device CPU mesh before JAX initializes.
+
+Multi-chip TPU hardware is not available in CI; all sharding/collective tests
+run against 8 virtual CPU devices, which exercises the same SPMD partitioner
+paths XLA uses on a real ICI mesh.
+"""
+
+import os
+
+# Must be set before `import jax` anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected >=8 virtual devices, got {len(devs)}"
+    return devs
