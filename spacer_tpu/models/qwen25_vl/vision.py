@@ -1,0 +1,238 @@
+"""Qwen2.5-VL vision transformer (windowed attention, 2x2 patch merger).
+
+Behavioral reference: modeling_qwen2_5_vl.py:306-466 (rot_pos_emb :336,
+get_window_index :365, forward :406).  TPU-first split of responsibilities:
+
+- `vision_layout(grid_thw, cfg)` runs ON HOST (numpy, cached per grid): the
+  window permutation, its inverse, per-token (h, w) rotary positions and the
+  window / frame segment ids. These are data-independent integer arrays —
+  exactly the kind of gather bookkeeping XLA should not re-derive on device.
+- `vit_forward` runs ON DEVICE with static shapes: one gather to window
+  order, scan over stacked blocks with block-diagonal attention expressed as
+  segment ids (windowed layers use window ids, full layers frame ids — the
+  reference's cu_seqlens in kernel-friendly form), one gather back.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spacer_tpu.models.qwen25_vl.config import VisionConfig
+from spacer_tpu.nn.attention import dot_product_attention
+from spacer_tpu.nn.core import dense, dense_init, rms_norm, rms_norm_init
+from spacer_tpu.nn.rope import apply_vision_rope, vision_rope_cos_sin
+
+Params = Any
+
+
+class VisionLayout(NamedTuple):
+    """Host-precomputed gather/mask bookkeeping for one grid_thw batch."""
+
+    window_index: np.ndarray      # (S/mu,) merge-unit permutation to window order
+    reverse_index: np.ndarray     # (S_merged,) inverse permutation (merged tokens)
+    pos_hw: np.ndarray            # (S, 2) patch (h, w) positions, window order
+    window_segments: np.ndarray   # (S,) segment id per token, window order
+    full_segments: np.ndarray     # (S,) frame-chunk segment id, window order
+    seq_len: int
+
+
+@functools.lru_cache(maxsize=256)
+def _vision_layout_cached(grid_thw: tuple, spatial_merge_size: int,
+                          patch_size: int, window_size: int) -> VisionLayout:
+    m = spatial_merge_size
+    mu = m * m
+    vws = window_size // m // patch_size  # window edge in merge units
+
+    window_index_parts = []
+    pos_parts = []
+    win_seg_parts = []
+    full_seg_parts = []
+    unit_base = 0      # running merge-unit offset
+    win_base = 0       # running window id
+    frame_base = 0     # running frame-chunk id
+
+    for (t, h, w) in grid_thw:
+        lh, lw = h // m, w // m
+        # --- window permutation over merge units (get_window_index parity)
+        index = np.arange(t * lh * lw).reshape(t, lh, lw)
+        pad_h = vws - lh % vws
+        pad_w = vws - lw % vws
+        nwh = (lh + pad_h) // vws
+        nww = (lw + pad_w) // vws
+        padded = np.full((t, lh + pad_h, lw + pad_w), -100, dtype=np.int64)
+        padded[:, :lh, :lw] = index
+        padded = padded.reshape(t, nwh, vws, nww, vws).transpose(0, 1, 3, 2, 4)
+        padded = padded.reshape(t, nwh * nww, vws, vws)
+        seqlens = (padded != -100).sum(axis=(2, 3)).reshape(-1)  # per window
+        flat = padded.reshape(-1)
+        index_new = flat[flat != -100]
+        window_index_parts.append(index_new + unit_base)
+
+        # --- window segment ids (token granularity, window order)
+        nonzero = seqlens[seqlens > 0]
+        win_ids = np.repeat(np.arange(len(seqlens)) + win_base, seqlens * mu)
+        win_seg_parts.append(win_ids)
+        win_base += len(seqlens)
+
+        # --- full-attention segment ids: one segment per temporal chunk.
+        # Window order only permutes within a t-chunk, so chunk membership is
+        # preserved: t-th chunk = lh*lw merge units = lh*lw*mu tokens.
+        full_ids = np.repeat(np.arange(t) + frame_base, lh * lw * mu)
+        full_seg_parts.append(full_ids)
+        frame_base += t
+
+        # --- rotary (h, w) positions per token in merge-unit order
+        hpos = np.arange(h)[:, None] * np.ones((1, w), np.int64)
+        wpos = np.ones((h, 1), np.int64) * np.arange(w)[None, :]
+
+        def to_unit_order(x):
+            x = x.reshape(h // m, m, w // m, m).transpose(0, 2, 1, 3)
+            return x.reshape(-1)
+
+        ph = np.tile(to_unit_order(hpos), t)
+        pw = np.tile(to_unit_order(wpos), t)
+        pos = np.stack([ph, pw], axis=-1)  # (t*h*w, 2) merge-unit order
+        pos_parts.append(pos)
+        unit_base += t * lh * lw
+
+    window_index = np.concatenate(window_index_parts)
+    pos = np.concatenate(pos_parts, axis=0)
+    # reorder rotary positions into window order (token granularity)
+    pos_units = pos.reshape(-1, mu, 2)[window_index]
+    pos_hw = pos_units.reshape(-1, 2)
+    window_segments = np.concatenate(win_seg_parts)
+    full_segments = np.concatenate(full_seg_parts)
+    reverse_index = np.argsort(window_index)
+    return VisionLayout(
+        window_index=window_index,
+        reverse_index=reverse_index,
+        pos_hw=pos_hw,
+        window_segments=window_segments,
+        full_segments=full_segments,
+        seq_len=int(pos_hw.shape[0]),
+    )
+
+
+def vision_layout(grid_thw, cfg: VisionConfig) -> VisionLayout:
+    """grid_thw: iterable of (t, h, w) per image/video (patch units)."""
+    key = tuple(tuple(int(v) for v in g) for g in grid_thw)
+    return _vision_layout_cached(
+        key, cfg.spatial_merge_size, cfg.patch_size, cfg.window_size
+    )
+
+
+def init_vit_params(key, cfg: VisionConfig, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, 10)
+    D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.depth
+    merged = D * cfg.spatial_merge_unit
+
+    def stack_init(fn, key, *args, **kw):
+        ks = jax.random.split(key, L)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[fn(k, *args, **kw) for k in ks])
+
+    return {
+        "patch_embed": {"proj": dense_init(keys[0], cfg.patch_dim, D, False, dtype)},
+        "blocks": {
+            "norm1": {"scale": jnp.ones((L, D), dtype)},
+            "norm2": {"scale": jnp.ones((L, D), dtype)},
+            "attn": {
+                "qkv": stack_init(dense_init, keys[1], D, 3 * D, True, dtype),
+                "proj": stack_init(dense_init, keys[2], D, D, True, dtype),
+            },
+            "mlp": {
+                "gate_proj": stack_init(dense_init, keys[3], D, I, True, dtype),
+                "up_proj": stack_init(dense_init, keys[4], D, I, True, dtype),
+                "down_proj": stack_init(dense_init, keys[5], I, D, True, dtype),
+            },
+        },
+        "merger": {
+            "ln_q": rms_norm_init(D, dtype),
+            "mlp_0": dense_init(keys[6], merged, merged, True, dtype),
+            "mlp_2": dense_init(keys[7], merged, cfg.out_hidden_size, True, dtype),
+        },
+    }
+
+
+def _vit_block(h, block_params, *, cfg: VisionConfig, cos, sin, segs, attn_impl):
+    """h: (S, D). segs: (S,) segment ids for block-diagonal attention."""
+    S, D = h.shape
+    H, Dh = cfg.num_heads, cfg.head_dim
+    x = rms_norm(block_params["norm1"], h, 1e-6)
+    qkv = dense(block_params["attn"]["qkv"], x).reshape(S, 3, H, Dh)
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    q, k = apply_vision_rope(q, k, cos, sin)
+    attn = dot_product_attention(
+        q[None], k[None], v[None],
+        causal=False,
+        q_segment_ids=segs[None], kv_segment_ids=segs[None],
+        impl=attn_impl,
+    )[0]
+    h = h + dense(block_params["attn"]["proj"], attn.reshape(S, H * Dh))
+
+    x = rms_norm(block_params["norm2"], h, 1e-6)
+    mlp = block_params["mlp"]
+    out = dense(mlp["down_proj"], jax.nn.silu(dense(mlp["gate_proj"], x)) * dense(mlp["up_proj"], x))
+    return h + out
+
+
+def vit_forward(
+    params: Params,
+    cfg: VisionConfig,
+    pixel_values,          # (S, patch_dim)
+    layout: VisionLayout,
+    remat: bool = False,
+    attn_impl=None,
+):
+    """Returns merged vision embeddings (S / spatial_merge_unit, out_hidden).
+
+    Output order matches the original (pre-window-permutation) token order,
+    i.e. directly scatterable into the LM sequence.
+    """
+    mu = cfg.spatial_merge_unit
+    h = dense(params["patch_embed"]["proj"], pixel_values)  # (S, D)
+    S = h.shape[0]
+
+    window_index = jnp.asarray(layout.window_index)
+    h = h.reshape(S // mu, mu, -1)[window_index].reshape(S, -1)
+
+    cos, sin = vision_rope_cos_sin(
+        jnp.asarray(layout.pos_hw), cfg.head_dim, cfg.rope_theta
+    )
+    win_segs = jnp.asarray(layout.window_segments)
+    full_segs = jnp.asarray(layout.full_segments)
+
+    # fullatt_block_indexes is static -> per-layer segment selection is a
+    # host-side boolean array scanned alongside the stacked params.
+    is_full = jnp.asarray(
+        [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
+    )
+
+    def body(h, xs):
+        block_params, full_flag = xs
+        segs = jnp.where(full_flag, full_segs, win_segs)
+        fn = functools.partial(
+            _vit_block, cfg=cfg, cos=cos, sin=sin, attn_impl=attn_impl
+        )
+        if remat:
+            fn = jax.checkpoint(lambda hh, bp, sg: _vit_block(
+                hh, bp, cfg=cfg, cos=cos, sin=sin, segs=sg, attn_impl=attn_impl
+            ))
+            return fn(h, block_params, segs), None
+        return fn(h, block_params, segs=segs), None
+
+    h, _ = jax.lax.scan(body, h, (params["blocks"], is_full))
+
+    # merger: rmsnorm -> group 4 -> linear/gelu/linear
+    m = params["merger"]
+    x = rms_norm(m["ln_q"], h, 1e-6).reshape(S // mu, mu * cfg.hidden_size)
+    x = dense(m["mlp_0"], x)
+    x = jax.nn.gelu(x, approximate=False)
+    x = dense(m["mlp_2"], x)
+
+    reverse_index = jnp.asarray(layout.reverse_index)
+    return x[reverse_index]

@@ -1,0 +1,101 @@
+"""Attention dispatcher: Pallas flash kernel on TPU, XLA reference elsewhere.
+
+The XLA path is the numerics oracle (fp32 logits + softmax); the Pallas path
+(spacer_tpu.ops.flash_attention) implements the same contract block-wise with
+online softmax. Both support GQA (Hq a multiple of Hkv), causal masking,
+padding masks, and segment ids (block-diagonal attention for the ViT's
+windowed/varlen layout and for packed sequences).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _gqa_expand(k, hq):
+    """(B, S, Hkv, D) -> (B, S, Hq, D) by repeating kv heads."""
+    b, s, hkv, d = k.shape
+    if hkv == hq:
+        return k
+    rep = hq // hkv
+    return jnp.repeat(k, rep, axis=2)
+
+
+def xla_attention(
+    q, k, v, *, causal=False, q_segment_ids=None, kv_segment_ids=None,
+    kv_mask=None, scale=None, q_offset=0,
+):
+    """Reference attention. q: (B, Sq, Hq, D), k/v: (B, Skv, Hkv, D).
+
+    - `causal`: token i attends to kv positions <= i + q_offset (q_offset
+      supports decode where the query block sits at the end of the cache).
+    - `q_segment_ids`/`kv_segment_ids`: (B, S) int; attention only within
+      equal segment ids (0 may be used for padding together with kv_mask).
+    - `kv_mask`: (B, Skv) bool; False positions are masked out.
+    """
+    b, sq, hq, d = q.shape
+    skv = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    k = _gqa_expand(k, hq)
+    v = _gqa_expand(v, hq)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = logits * scale
+
+    mask = jnp.ones((b, 1, sq, skv), dtype=bool)
+    if causal:
+        qpos = jnp.arange(sq)[:, None] + q_offset
+        kpos = jnp.arange(skv)[None, :]
+        mask = mask & (kpos <= qpos)[None, None, :, :]
+    if kv_mask is not None:
+        mask = mask & kv_mask[:, None, None, :]
+    if q_segment_ids is not None and kv_segment_ids is not None:
+        seg = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
+        mask = mask & seg[:, None, :, :]
+
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def dot_product_attention(
+    q, k, v, *, causal=False, q_segment_ids=None, kv_segment_ids=None,
+    kv_mask=None, scale=None, q_offset=0, impl: str | None = None,
+):
+    """Dispatch to the fastest available implementation.
+
+    impl: "xla" | "pallas" | None (auto). Env SPACER_ATTN_IMPL overrides.
+    """
+    impl = impl or os.environ.get("SPACER_ATTN_IMPL") or "auto"
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        try:
+            from spacer_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(
+                q, k, v, causal=causal, q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids, kv_mask=kv_mask, scale=scale,
+                q_offset=q_offset,
+            )
+        except (ImportError, NotImplementedError):
+            pass
+    return xla_attention(
+        q, k, v, causal=causal, q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids, kv_mask=kv_mask, scale=scale,
+        q_offset=q_offset,
+    )

@@ -7,8 +7,9 @@ paths XLA uses on a real ICI mesh.
 
 import os
 
-# Must be set before `import jax` anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before `import jax` anywhere in the test process. Force (not
+# setdefault): the driver environment pre-sets JAX_PLATFORMS=axon (TPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# JAX's CPU backend (oneDNN) does reduced-precision f32 matmuls by default
+# (~1e-3 error); parity tests need true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 
