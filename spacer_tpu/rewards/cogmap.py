@@ -230,8 +230,11 @@ def calculate_prediction_score(
         weighted_sum += acc * n_sol
 
     if total_weight == 0:
-        has_pred = any(coords for coords in response.values())
-        return 0.0 if has_pred else 1.0
+        # Reference parity: with an all-empty solution, any response KEY (even
+        # with an empty coord list) trips a latent TypeError in the reference
+        # (extract_map.py:763) which callers convert to reward 0.0; an empty
+        # response dict scores 1.0.
+        return 1.0 if not response else 0.0
     return weighted_sum / total_weight
 
 
