@@ -1,0 +1,119 @@
+"""Parameter partitioning: regex path rules -> PartitionSpec.
+
+FSDP axis shards a weight dimension (XLA inserts allgather-on-use, the SPMD
+equivalent of ZeRO-3); tp shards the head/ffn dimension (Megatron-style).
+Rules are matched in order against 'a/b/c' param paths; first match wins.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+# Rules for the Qwen2.5-VL pytree (stacked layer arrays have a leading layer
+# axis which is never sharded). Order matters.
+QWEN_PARTITION_RULES: list[tuple[str, P]] = [
+    # LM stacked layers: kernels (L, in, out)
+    (r"model/layers/self_attn/(q|k|v)_proj/kernel", P(None, "fsdp", "tp")),
+    (r"model/layers/self_attn/o_proj/kernel", P(None, "tp", "fsdp")),
+    (r"model/layers/self_attn/(q|k|v)_proj/bias", P(None, "tp")),
+    (r"model/layers/mlp/(gate|up)_proj/kernel", P(None, "fsdp", "tp")),
+    (r"model/layers/mlp/down_proj/kernel", P(None, "tp", "fsdp")),
+    (r"model/layers/.*layernorm/scale", P(None, None)),
+    # embeddings / head
+    (r"model/embed_tokens/embedding", P("tp", "fsdp")),
+    (r"model/lm_head/kernel", P("fsdp", "tp")),
+    (r"model/norm/scale", P()),
+    # ViT stacked blocks
+    (r"visual/blocks/attn/qkv/kernel", P(None, "fsdp", "tp")),
+    (r"visual/blocks/attn/qkv/bias", P(None, "tp")),
+    (r"visual/blocks/attn/proj/kernel", P(None, "tp", "fsdp")),
+    (r"visual/blocks/attn/proj/bias", P(None, None)),
+    (r"visual/blocks/mlp/(gate|up)_proj/kernel", P(None, "fsdp", "tp")),
+    (r"visual/blocks/mlp/(gate|up)_proj/bias", P(None, "tp")),
+    (r"visual/blocks/mlp/down_proj/kernel", P(None, "tp", "fsdp")),
+    (r"visual/blocks/mlp/down_proj/bias", P(None, None)),
+    (r"visual/blocks/norm[12]/scale", P(None, None)),
+    (r"visual/patch_embed/proj/kernel", P("fsdp", "tp")),
+    (r"visual/merger/mlp_0/kernel", P("fsdp", "tp")),
+    (r"visual/merger/mlp_0/bias", P("tp")),
+    (r"visual/merger/mlp_2/kernel", P("tp", "fsdp")),
+    (r"visual/merger/.*", P()),
+    # fallback: replicate
+    (r".*", P()),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _spec_for(path_str: str, leaf, rules) -> P:
+    for pattern, spec in rules:
+        if re.fullmatch(pattern, path_str) or re.search(pattern, path_str):
+            return _fit_spec(spec, getattr(leaf, "ndim", 0))
+    return P()
+
+
+def _fit_spec(spec: P, ndim: int) -> P:
+    """Trim/pad a spec to the leaf's rank (defensive vs rule/shape drift)."""
+    parts = tuple(spec)
+    if len(parts) > ndim:
+        parts = parts[:ndim]
+    return P(*parts)
+
+
+def partition_spec_tree(params, rules: Sequence[tuple[str, P]] | None = None):
+    """Pytree of PartitionSpec matching `params` structure."""
+    rules = rules if rules is not None else QWEN_PARTITION_RULES
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(_path_str(path), leaf, rules), params
+    )
+
+
+def _shrink_spec_to_shape(spec: P, shape, mesh) -> P:
+    """Drop sharding on dims not divisible by the mesh axis size (tiny test
+    models); production shapes always divide."""
+    parts = []
+    for i, axis in enumerate(tuple(spec)):
+        if axis is None:
+            parts.append(None)
+            continue
+        names = (axis,) if isinstance(axis, str) else tuple(axis)
+        size = int(np.prod([mesh.shape[n] for n in names]))
+        parts.append(axis if shape[i] % size == 0 else None)
+    return P(*parts)
+
+
+def shard_params(params, mesh, rules=None):
+    """Device_put params onto the mesh per the partition rules."""
+    specs = partition_spec_tree(params, rules)
+    specs = jax.tree.map(
+        lambda leaf, spec: _shrink_spec_to_shape(spec, leaf.shape, mesh),
+        params, specs,
+    )
+    return (
+        jax.tree.map(
+            lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+            params, specs,
+        ),
+        specs,
+    )
+
+
+def batch_spec(mesh) -> P:
+    """Batch-dimension spec: data-parallel over data x fsdp."""
+    return P(("data", "fsdp"))

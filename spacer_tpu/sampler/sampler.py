@@ -1,0 +1,239 @@
+"""KV-cached autoregressive sampling under jit.
+
+Design (TPU-first):
+- prefill once per prompt (B rows), then tile the KV cache G-fold so the
+  G completions of a group share the prompt prefix compute — the reference
+  gets this from vLLM's enable_prefix_caching
+  (vllm_grpo_trainer_modified.py:365-367); here it is a jnp.repeat.
+- decode loop is a lax.while_loop inside one jit: static shapes, early exit
+  when every row has emitted EOS.
+- top-p is exact (full-vocab sort per step); temperature 0 or None means
+  greedy argmax.
+
+Completion semantics match the reference trainer: tokens after the first EOS
+are garbage and must be masked by the caller with `completion_mask`
+(SG_RLVR_trainer.py:493-498); `SampleOutput.completion_mask` implements that
+rule (mask includes the EOS token itself).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spacer_tpu.models.qwen25_vl.config import Qwen25VLConfig
+from spacer_tpu.models.qwen25_vl.language import init_kv_cache, lm_forward
+from spacer_tpu.models.qwen25_vl.model import encode_vision, forward
+
+
+@dataclasses.dataclass
+class SampleOutput:
+    sequences: np.ndarray        # (B*G, max_new) sampled token ids
+    completion_mask: np.ndarray  # (B*G, max_new) 1 up to & including first EOS
+    lengths: np.ndarray          # (B*G,) completion lengths (mask sums)
+
+
+def sample_logits(logits, rng, temperature: float, top_p: float):
+    """Sample token ids from (B, V) logits. Exact nucleus sampling."""
+    if temperature is None or temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_p is not None and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        # keep the smallest prefix with cumulative prob >= top_p (always >= 1 token)
+        keep_sorted = (cum - sorted_probs) < top_p
+        # threshold logit = smallest kept logit per row
+        kept_min = jnp.min(
+            jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits >= kept_min, logits, -jnp.inf)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def _decode_loop(
+    params, text_cfg, cache, kv_mask, first_tokens, deltas, prompt_len,
+    max_new_tokens: int, temperature: float, top_p: float, eos_token_id: int,
+    rng, attn_impl=None,
+):
+    """Runs the autoregressive loop. Returns (tokens (B, max_new), done)."""
+    B = first_tokens.shape[0]
+    T = cache["k"].shape[2]
+
+    tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(first_tokens.astype(jnp.int32))
+    done0 = first_tokens == eos_token_id
+
+    def cond(state):
+        step, tokens, done, cache, kv_mask, rng = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, tokens, done, cache, kv_mask, rng = state
+        cur = jax.lax.dynamic_slice(tokens, (0, step - 1), (B, 1))
+        # position = prompt_len + delta + (step - 1) on all three rope axes
+        pos = (prompt_len + deltas.reshape(-1) + step - 1).astype(jnp.int32)
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
+        write_at = prompt_len + step - 1
+        kv_mask = jax.lax.dynamic_update_slice(
+            kv_mask, jnp.ones((B, 1), kv_mask.dtype), (0, write_at)
+        )
+        logits, cache = lm_forward(
+            params["model"], text_cfg, input_ids=cur, position_ids=pos3,
+            kv_mask=kv_mask, cache=cache, cache_index=write_at,
+        )
+        rng, sub = jax.random.split(rng)
+        nxt = sample_logits(logits[:, -1], sub, temperature, top_p)
+        nxt = jnp.where(done, jnp.full_like(nxt, eos_token_id), nxt)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, nxt[:, None].astype(jnp.int32), (0, step)
+        )
+        done = done | (nxt == eos_token_id)
+        return step + 1, tokens, done, cache, kv_mask, rng
+
+    state = (jnp.int32(1), tokens0, done0, cache, kv_mask, rng)
+    _, tokens, done, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "text_cfg", "num_generations", "max_new_tokens", "temperature",
+        "top_p", "eos_token_id", "attn_impl",
+    ),
+)
+def _generate_jit(
+    params, text_cfg, input_embeds, position_ids, prompt_mask, deltas, rng,
+    *, num_generations: int, max_new_tokens: int, temperature: float,
+    top_p: float, eos_token_id: int, attn_impl=None,
+):
+    """Prefill + tiled grouped decode. input_embeds: (B, S, D) left-padded."""
+    B, S, _ = input_embeds.shape
+    G = num_generations
+    T = S + max_new_tokens
+
+    cache = init_kv_cache(text_cfg, B, T, dtype=input_embeds.dtype)
+    kv_mask = jnp.zeros((B, T), bool)
+    kv_mask = kv_mask.at[:, :S].set(prompt_mask.astype(bool))
+    logits, cache = lm_forward(
+        params["model"], text_cfg, input_embeds=input_embeds,
+        position_ids=position_ids, kv_mask=kv_mask, cache=cache,
+        cache_index=0, attn_impl=attn_impl,
+    )
+    last_logits = logits[:, -1]  # (B, V)
+
+    # Group expansion: each prompt row fans out to G rows sharing its prefix.
+    cache = {k: jnp.repeat(v, G, axis=1) for k, v in cache.items()}
+    kv_mask = jnp.repeat(kv_mask, G, axis=0)
+    last_logits = jnp.repeat(last_logits, G, axis=0)
+    deltas = jnp.repeat(deltas.reshape(-1), G, axis=0)
+
+    rng, sub = jax.random.split(rng)
+    first = sample_logits(last_logits, sub, temperature, top_p)
+    tokens = _decode_loop(
+        params, text_cfg, cache, kv_mask, first, deltas, S,
+        max_new_tokens, temperature, top_p, eos_token_id, rng,
+        attn_impl=attn_impl,
+    )
+    return tokens
+
+
+def completion_mask_from_ids(completion_ids: np.ndarray, eos_token_id: int
+                             ) -> np.ndarray:
+    """Mask = positions up to and including the first EOS
+    (SG_RLVR_trainer.py:493-498 semantics)."""
+    is_eos = completion_ids == eos_token_id
+    n, L = is_eos.shape
+    eos_idx = np.full((n,), L, dtype=np.int64)
+    any_eos = is_eos.any(axis=1)
+    eos_idx[any_eos] = is_eos.argmax(axis=1)[any_eos]
+    seq = np.arange(L)[None, :]
+    return (seq <= eos_idx[:, None]).astype(np.int32)
+
+
+class Sampler:
+    """Convenience wrapper owning padding/bucketing around _generate_jit."""
+
+    def __init__(self, cfg: Qwen25VLConfig, eos_token_id: int | None = None,
+                 pad_token_id: int | None = None, attn_impl: str | None = None,
+                 length_bucket: int = 128):
+        self.cfg = cfg
+        self.eos_token_id = eos_token_id if eos_token_id is not None else cfg.eos_token_id
+        self.pad_token_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
+        self.attn_impl = attn_impl
+        self.length_bucket = length_bucket
+
+    def _bucket(self, n: int) -> int:
+        b = self.length_bucket
+        return max(b, -(-n // b) * b)
+
+    def generate(
+        self,
+        input_ids: np.ndarray,          # (B, S) left-padded prompts
+        attention_mask: np.ndarray,     # (B, S)
+        params,
+        *,
+        position_ids: np.ndarray,       # (3, B, S)
+        deltas: np.ndarray,             # (B, 1) mrope position deltas
+        pixel_values: np.ndarray | None = None,
+        grid_thw=None,
+        vision_embeds=None,
+        num_generations: int = 1,
+        max_new_tokens: int = 1024,
+        temperature: float = 1.0,
+        top_p: float = 0.95,
+        seed: int | jax.Array = 0,
+    ) -> SampleOutput:
+        cfg = self.cfg
+        B, S = input_ids.shape
+        Sb = self._bucket(S)
+        pad = Sb - S
+        if pad:
+            # extend left padding; positions for pad slots are irrelevant
+            input_ids = np.concatenate(
+                [np.full((B, pad), self.pad_token_id, input_ids.dtype), input_ids],
+                axis=1,
+            )
+            attention_mask = np.concatenate(
+                [np.zeros((B, pad), attention_mask.dtype), attention_mask], axis=1
+            )
+            position_ids = np.concatenate(
+                [np.ones((3, B, pad), position_ids.dtype), position_ids], axis=2
+            )
+            # delta = max_pos + 1 - seq_len; padding grows seq_len
+            deltas = np.asarray(deltas) - pad
+
+        from spacer_tpu.nn.core import embed
+        from spacer_tpu.models.qwen25_vl.model import merge_vision_embeds
+
+        ids = jnp.asarray(input_ids)
+        token_embeds = embed(params["model"]["embed_tokens"], ids)
+        if vision_embeds is None and pixel_values is not None:
+            vision_embeds = encode_vision(
+                params, cfg, jnp.asarray(pixel_values), grid_thw,
+                attn_impl=self.attn_impl,
+            )
+        if vision_embeds is not None:
+            token_embeds = merge_vision_embeds(cfg, ids, token_embeds, vision_embeds)
+
+        rng = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+        tokens = _generate_jit(
+            params, cfg.text, token_embeds, jnp.asarray(position_ids),
+            jnp.asarray(attention_mask), jnp.asarray(deltas), rng,
+            num_generations=num_generations, max_new_tokens=max_new_tokens,
+            temperature=float(temperature) if temperature is not None else 0.0,
+            top_p=float(top_p) if top_p is not None else 1.0,
+            eos_token_id=self.eos_token_id, attn_impl=self.attn_impl,
+        )
+        tokens = np.asarray(tokens)
+        mask = completion_mask_from_ids(tokens, self.eos_token_id)
+        return SampleOutput(
+            sequences=tokens, completion_mask=mask, lengths=mask.sum(axis=1)
+        )
