@@ -1,0 +1,198 @@
+"""Jitted SPMD train steps: GRPO (policy + frozen ref) and SFT.
+
+One compiled program does: vision encode (once per group, not xG like the
+reference's pixel tiling, SG_RLVR_trainer.py:516-518) -> policy logps over
+completion tokens (chunked head, no (N, S, V) materialization) -> ref logps
+-> k3 KL + GRPO loss -> optax update.  Rewards/advantages arrive from host.
+
+Sharding: caller places params/opt_state with parallel.shard_params and the
+batch with batch_spec; jit compiles the collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from spacer_tpu.models.qwen25_vl.config import Qwen25VLConfig
+from spacer_tpu.models.qwen25_vl.model import (
+    encode_vision,
+    lm_forward,
+    merge_vision_embeds,
+)
+from spacer_tpu.nn.core import embed
+from spacer_tpu.train.grpo import chunked_per_token_logps, grpo_loss
+
+
+def _head_kernel(params_model, text_cfg):
+    if text_cfg.tie_word_embeddings:
+        return params_model["embed_tokens"]["embedding"].T
+    return params_model["lm_head"]["kernel"]
+
+
+def _completion_logps(
+    params, cfg: Qwen25VLConfig, input_ids, position_ids, kv_mask,
+    prompt_len: int, vision_embeds=None, remat: bool = False,
+    attn_impl=None, logp_chunk: int = 256,
+):
+    """Per-token logps of the completion part. input_ids: (N, P+C)."""
+    token_embeds = embed(params["model"]["embed_tokens"], input_ids)
+    if vision_embeds is not None:
+        token_embeds = merge_vision_embeds(cfg, input_ids, token_embeds,
+                                           vision_embeds)
+    hidden, _ = lm_forward(
+        params["model"], cfg.text, input_embeds=token_embeds,
+        position_ids=position_ids, kv_mask=kv_mask, logits=False,
+        remat=remat, attn_impl=attn_impl,
+    )
+    # position i predicts token i+1; completion tokens are ids[:, P:]
+    h = hidden[:, prompt_len - 1 : -1]
+    targets = input_ids[:, prompt_len:]
+    head = _head_kernel(params["model"], cfg.text).astype(jnp.float32)
+    return chunked_per_token_logps(h.astype(jnp.float32), head, targets,
+                                   chunk=logp_chunk)
+
+
+def make_grpo_train_step(
+    cfg: Qwen25VLConfig,
+    tx,
+    *,
+    beta: float = 0.04,
+    prompt_len: int,
+    remat: bool = True,
+    attn_impl: Optional[str] = None,
+    logp_chunk: int = 256,
+    encode_vision_in_step: bool = True,
+):
+    """Returns step(params, ref_params, opt_state, batch) -> (params,
+    opt_state, metrics).
+
+    batch dict:
+      input_ids       (N, P+C) prompt+completion, left-padded prompt
+      kv_mask         (N, P+C) attention mask incl. completion mask
+      position_ids    (3, N, P+C)
+      completion_mask (N, C)
+      advantages      (N,)
+      pixel_values    (S_patch, patch_dim) or None (then vision_embeds)
+      grid_thw        static tuple of (t, h, w), or None for text-only
+      num_generations int: tile factor for shared vision embeds
+    """
+
+    def loss_fn(params, ref_logps, batch, grid_thw, num_generations):
+        vision_embeds = None
+        if grid_thw is not None and encode_vision_in_step:
+            ve = encode_vision(params, cfg, batch["pixel_values"], grid_thw,
+                               remat=remat, attn_impl=attn_impl)
+            vision_embeds = jnp.tile(ve, (num_generations, 1))
+        logps = _completion_logps(
+            params, cfg, batch["input_ids"], batch["position_ids"],
+            batch["kv_mask"], prompt_len, vision_embeds=vision_embeds,
+            remat=remat, attn_impl=attn_impl, logp_chunk=logp_chunk,
+        )
+        loss, metrics = grpo_loss(
+            logps, ref_logps, batch["advantages"], batch["completion_mask"],
+            beta=beta,
+        )
+        return loss, metrics
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("grid_thw", "num_generations"),
+        donate_argnames=("params", "opt_state"),
+    )
+    def step(params, ref_params, opt_state, batch, grid_thw=None,
+             num_generations: int = 1):
+        ref_vision_embeds = None
+        if grid_thw is not None and encode_vision_in_step:
+            rve = encode_vision(ref_params, cfg, batch["pixel_values"],
+                                grid_thw, remat=remat, attn_impl=attn_impl)
+            ref_vision_embeds = jnp.tile(rve, (num_generations, 1))
+        ref_logps = _completion_logps(
+            ref_params, cfg, batch["input_ids"], batch["position_ids"],
+            batch["kv_mask"], prompt_len, vision_embeds=ref_vision_embeds,
+            remat=remat, attn_impl=attn_impl, logp_chunk=logp_chunk,
+        )
+        ref_logps = jax.lax.stop_gradient(ref_logps)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, ref_logps, batch, grid_thw, num_generations
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: (p + u.astype(p.dtype)), params, updates
+        )
+        gnorm = optax_global_norm(grads)
+        metrics = dict(metrics, loss=loss, grad_norm=gnorm)
+        return params, opt_state, metrics
+
+    return step
+
+
+def optax_global_norm(tree):
+    import optax
+
+    return optax.global_norm(tree)
+
+
+def make_sft_train_step(
+    cfg: Qwen25VLConfig,
+    tx,
+    *,
+    remat: bool = True,
+    attn_impl: Optional[str] = None,
+    logp_chunk: int = 256,
+):
+    """SFT step (sft.py semantics): next-token CE with labels = input_ids,
+    positions with label -100 (pad + visual tokens) masked out.
+
+    batch: input_ids (N, S), labels (N, S) with -100 masking, kv_mask,
+    position_ids (3, N, S), pixel_values/grid_thw optional.
+    """
+
+    def loss_fn(params, batch, grid_thw):
+        vision_embeds = None
+        if grid_thw is not None:
+            vision_embeds = encode_vision(
+                params, cfg, batch["pixel_values"], grid_thw, remat=remat,
+                attn_impl=attn_impl,
+            )
+        token_embeds = embed(params["model"]["embed_tokens"],
+                             batch["input_ids"])
+        if vision_embeds is not None:
+            token_embeds = merge_vision_embeds(
+                cfg, batch["input_ids"], token_embeds, vision_embeds
+            )
+        hidden, _ = lm_forward(
+            params["model"], cfg.text, input_embeds=token_embeds,
+            position_ids=batch["position_ids"], kv_mask=batch["kv_mask"],
+            logits=False, remat=remat, attn_impl=attn_impl,
+        )
+        h = hidden[:, :-1]
+        labels = batch["labels"][:, 1:]
+        mask = labels != -100
+        safe_labels = jnp.where(mask, labels, 0)
+        head = _head_kernel(params["model"], cfg.text).astype(jnp.float32)
+        logps = chunked_per_token_logps(
+            h.astype(jnp.float32), head, safe_labels, chunk=logp_chunk
+        )
+        denom = jnp.maximum(mask.sum(), 1)
+        loss = -(logps * mask).sum() / denom
+        return loss, {"n_tokens": denom}
+
+    @functools.partial(
+        jax.jit, static_argnames=("grid_thw",),
+        donate_argnames=("params", "opt_state"),
+    )
+    def step(params, opt_state, batch, grid_thw=None):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, grid_thw
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+        metrics = dict(metrics, loss=loss, grad_norm=optax_global_norm(grads))
+        return params, opt_state, metrics
+
+    return step

@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers a TPU PJRT plugin at interpreter
+# start and pins the platform regardless of env vars; the config-level update
+# below wins as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # JAX's CPU backend (oneDNN) does reduced-precision f32 matmuls by default
 # (~1e-3 error); parity tests need true f32 accumulation.
