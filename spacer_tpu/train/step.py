@@ -61,14 +61,17 @@ def make_grpo_train_step(
     tx,
     *,
     beta: float = 0.04,
-    prompt_len: int,
+    prompt_len: int | None = None,
     remat: bool = True,
     attn_impl: Optional[str] = None,
     logp_chunk: int = 256,
     encode_vision_in_step: bool = True,
 ):
-    """Returns step(params, ref_params, opt_state, batch) -> (params,
-    opt_state, metrics).
+    """Returns step(params, ref_params, opt_state, batch, grid_thw,
+    num_generations, prompt_len) -> (params, opt_state, metrics).
+
+    `prompt_len` is static (one compiled program per length bucket); it may
+    be bound here or passed per call.
 
     batch dict:
       input_ids       (N, P+C) prompt+completion, left-padded prompt
@@ -80,8 +83,10 @@ def make_grpo_train_step(
       grid_thw        static tuple of (t, h, w), or None for text-only
       num_generations int: tile factor for shared vision embeds
     """
+    bound_prompt_len = prompt_len
 
-    def loss_fn(params, ref_logps, batch, grid_thw, num_generations):
+    def loss_fn(params, ref_logps, batch, grid_thw, num_generations,
+                prompt_len):
         vision_embeds = None
         if grid_thw is not None and encode_vision_in_step:
             ve = encode_vision(params, cfg, batch["pixel_values"], grid_thw,
@@ -100,11 +105,12 @@ def make_grpo_train_step(
 
     @functools.partial(
         jax.jit,
-        static_argnames=("grid_thw", "num_generations"),
+        static_argnames=("grid_thw", "num_generations", "prompt_len"),
         donate_argnames=("params", "opt_state"),
     )
     def step(params, ref_params, opt_state, batch, grid_thw=None,
-             num_generations: int = 1):
+             num_generations: int = 1, prompt_len: int | None = None):
+        prompt_len = prompt_len if prompt_len is not None else bound_prompt_len
         ref_vision_embeds = None
         if grid_thw is not None and encode_vision_in_step:
             rve = encode_vision(ref_params, cfg, batch["pixel_values"],
@@ -118,7 +124,7 @@ def make_grpo_train_step(
         ref_logps = jax.lax.stop_gradient(ref_logps)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, ref_logps, batch, grid_thw, num_generations
+            params, ref_logps, batch, grid_thw, num_generations, prompt_len
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(

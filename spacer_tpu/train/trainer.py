@@ -1,0 +1,405 @@
+"""SG-RLVR trainer: rollout -> rewards -> advantages -> SPMD update.
+
+Behavioral reference: SG_RLVR_trainer.py compute_loss (:384-686) and the HF
+Trainer loop around it.  Differences by design (TPU-first):
+- no vLLM/dedicated GPU: the sampler shares params with the train step.
+- vision encoded once per prompt; embeddings broadcast across the G
+  completions (reference tiles pixels xG, :516-518).
+- temporal-shuffle rollouts use G/2 generations like the reference
+  (:277-302); no ZeRO-3 dummy-generate lockstep is needed because there is
+  no cross-process collective to deadlock (:479-481 is obsolete on SPMD).
+- second_per_grid_ts: with the training fps of 2.0 it equals 1.0, which is
+  exactly what the reference's deletion of the key falls back to
+  (:519-521), so positions match the reference bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spacer_tpu.models.qwen25_vl.config import Qwen25VLConfig
+from spacer_tpu.models.qwen25_vl.rope_index import get_rope_index
+from spacer_tpu.sampler import Sampler
+from spacer_tpu.train.grpo import (
+    group_advantages,
+    length_control_bonus,
+    temporal_bonus,
+)
+from spacer_tpu.train.optimizer import make_optimizer
+from spacer_tpu.train.step import make_grpo_train_step
+from spacer_tpu.utils.logging import MetricLogger
+
+
+@dataclasses.dataclass
+class SGRLVRConfig:
+    """Training hyperparameters (defaults = run_SpaceR_SG_RLVR.sh:15-39)."""
+
+    num_generations: int = 8
+    max_prompt_length: int = 16384
+    max_completion_length: int = 1024
+    learning_rate: float = 1e-6
+    weight_decay: float = 0.01
+    max_grad_norm: float = 5.0
+    beta: float = 0.04
+    temperature: float = 1.0
+    top_p: float = 0.95
+    temporal: bool = True
+    len_control: bool = True
+    num_train_epochs: int = 1
+    max_steps: int | None = None
+    logging_steps: int = 1
+    save_steps: int = 1000
+    output_dir: str = "output"
+    seed: int = 42
+    min_pixels: int = 3136
+    max_pixels: int = 401408
+    prompt_bucket: int = 512
+    remat: bool = True
+    logp_chunk: int = 256
+    attn_impl: Optional[str] = None
+    warmup_steps: int = 0
+
+
+class SGRLVRTrainer:
+    """Single-controller SPMD trainer (one python process per host)."""
+
+    def __init__(
+        self,
+        cfg: Qwen25VLConfig,
+        params,
+        processor,
+        reward_funcs: Sequence[Callable],
+        train_dataset: Sequence[dict],
+        args: SGRLVRConfig,
+        *,
+        map_data: dict | None = None,
+        ref_params=None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.args = args
+        self.processor = processor
+        self.reward_funcs = list(reward_funcs)
+        self.dataset = list(train_dataset)
+        self.map_data = map_data
+        self.mesh = mesh
+
+        self.params = params
+        self.ref_params = (
+            ref_params if ref_params is not None
+            else jax.tree.map(jnp.copy, params)
+        )
+
+        total = args.max_steps or (
+            args.num_train_epochs * len(self.dataset)
+        )
+        self.tx = make_optimizer(
+            learning_rate=args.learning_rate,
+            total_steps=total,
+            warmup_steps=args.warmup_steps,
+            weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm,
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.sampler = Sampler(
+            cfg,
+            eos_token_id=processor.eos_token_id,
+            pad_token_id=processor.pad_token_id,
+            attn_impl=args.attn_impl,
+            length_bucket=args.prompt_bucket,
+        )
+        self.step_fn = make_grpo_train_step(
+            cfg, self.tx, beta=args.beta, remat=args.remat,
+            attn_impl=args.attn_impl, logp_chunk=args.logp_chunk,
+        )
+        self.global_step = 0
+        self._metrics = defaultdict(list)
+        self.logger = MetricLogger(args.output_dir)
+
+    # -- data prep ------------------------------------------------------
+
+    def _prepare_inputs(self, row: dict, shuffle_frames: bool = False,
+                        rng: np.random.Generator | None = None):
+        """Row -> (processor outputs, prompt text).  Injects the media path
+        into the first content element (SG_RLVR_trainer.py:396-414)."""
+        import copy
+
+        prompt = copy.deepcopy(row["prompt"])
+        for msg in prompt:
+            if isinstance(msg.get("content"), list):
+                for ele in msg["content"]:
+                    for k in [k for k, v in ele.items() if v is None]:
+                        del ele[k]
+        if row["data_type"] == "image":
+            prompt[0]["content"][0]["image"] = row["path"]
+        elif row["data_type"] == "video":
+            prompt[0]["content"][0]["video"] = row["path"]
+
+        from spacer_tpu.vision.process import process_vision_info
+
+        for msg in prompt:
+            if isinstance(msg.get("content"), list):
+                for ele in msg["content"]:
+                    if "video" in ele or "image" in ele:
+                        ele.setdefault("min_pixels", self.args.min_pixels)
+                        ele.setdefault("max_pixels", self.args.max_pixels)
+        images, videos, vkw = process_vision_info(
+            [prompt], return_video_kwargs=True
+        )
+        if shuffle_frames and videos:
+            perm = rng.permutation(videos[0].shape[0])
+            videos = [videos[0][perm]]
+        text = self.processor.apply_chat_template(
+            prompt, add_generation_prompt=True
+        )
+        out = self.processor(
+            [text], images=images, videos=videos, fps=vkw.get("fps"),
+        )
+        return out, videos is not None and len(videos) > 0
+
+    def _truncate_prompt(self, enc: dict):
+        mp = self.args.max_prompt_length
+        enc["input_ids"] = enc["input_ids"][:, -mp:]
+        enc["attention_mask"] = enc["attention_mask"][:, -mp:]
+        return enc
+
+    def _positions(self, enc: dict):
+        return get_rope_index(
+            self.cfg,
+            enc["input_ids"],
+            image_grid_thw=enc.get("image_grid_thw"),
+            video_grid_thw=enc.get("video_grid_thw"),
+            second_per_grid_ts=enc.get("second_per_grid_ts"),
+            attention_mask=enc["attention_mask"],
+        )
+
+    # -- one training step ---------------------------------------------
+
+    def training_step(self, row: dict, rng: np.random.Generator):
+        args = self.args
+        G = args.num_generations
+        t_start = time.perf_counter()
+
+        enc, has_video = self._prepare_inputs(row)
+        enc = self._truncate_prompt(enc)
+        pos, deltas = self._positions(enc)
+
+        grid_thw = None
+        pixel_values = None
+        if "video_grid_thw" in enc:
+            grid_thw = tuple(tuple(int(x) for x in g)
+                             for g in enc["video_grid_thw"])
+            pixel_values = enc["pixel_values_videos"]
+        elif "image_grid_thw" in enc:
+            grid_thw = tuple(tuple(int(x) for x in g)
+                             for g in enc["image_grid_thw"])
+            pixel_values = enc["pixel_values"]
+
+        sample_out = self.sampler.generate(
+            enc["input_ids"], enc["attention_mask"], self.params,
+            position_ids=pos, deltas=deltas,
+            pixel_values=pixel_values, grid_thw=grid_thw,
+            num_generations=G,
+            max_new_tokens=args.max_completion_length,
+            temperature=args.temperature, top_p=args.top_p,
+            seed=int(rng.integers(2**31)),
+        )
+        completions = self.processor.tokenizer.batch_decode(
+            [seq[:n] for seq, n in
+             zip(sample_out.sequences, sample_out.lengths)],
+            skip_special_tokens=True,
+        )
+        t_rollout = time.perf_counter()
+
+        # temporal-shuffle rollout (G/2 generations)
+        shuffled_rewards = None
+        if args.temporal and has_video:
+            s_enc, _ = self._prepare_inputs(row, shuffle_frames=True, rng=rng)
+            s_enc = self._truncate_prompt(s_enc)
+            s_pos, s_deltas = self._positions(s_enc)
+            s_grid = tuple(tuple(int(x) for x in g)
+                           for g in s_enc["video_grid_thw"])
+            s_out = self.sampler.generate(
+                s_enc["input_ids"], s_enc["attention_mask"], self.params,
+                position_ids=s_pos, deltas=s_deltas,
+                pixel_values=s_enc["pixel_values_videos"], grid_thw=s_grid,
+                num_generations=G // 2,
+                max_new_tokens=args.max_completion_length,
+                temperature=args.temperature, top_p=args.top_p,
+                seed=int(rng.integers(2**31)),
+            )
+            s_completions = self.processor.tokenizer.batch_decode(
+                [seq[:n] for seq, n in zip(s_out.sequences, s_out.lengths)],
+                skip_special_tokens=True,
+            )
+            shuffled_rewards = self._compute_rewards(row, s_completions)
+
+        rewards_per_func = self._compute_rewards(row, completions)
+
+        temporal_flag = 0.5
+        if args.temporal and has_video and shuffled_rewards is not None:
+            rewards_per_func, temporal_flag = temporal_bonus(
+                rewards_per_func, shuffled_rewards
+            )
+        rewards = rewards_per_func.sum(axis=1)
+        if args.len_control:
+            rewards = length_control_bonus(
+                rewards, rewards_per_func[:, 0], sample_out.lengths
+            )
+        advantages = np.asarray(group_advantages(jnp.asarray(rewards), G))
+        t_reward = time.perf_counter()
+
+        # --- build the train batch
+        P_len = enc["input_ids"].shape[1]
+        # sampler may have bucketed the prompt; re-pad ids/mask identically
+        Pb = self.sampler._bucket(P_len)
+        pad = Pb - P_len
+        prompt_ids = np.pad(
+            enc["input_ids"], ((0, 0), (pad, 0)),
+            constant_values=self.processor.pad_token_id,
+        )
+        prompt_mask = np.pad(enc["attention_mask"], ((0, 0), (pad, 0)))
+        pos_p = np.pad(pos, ((0, 0), (0, 0), (pad, 0)), constant_values=1)
+        C = args.max_completion_length
+
+        full_ids = np.concatenate(
+            [np.repeat(prompt_ids, G, axis=0), sample_out.sequences], axis=1
+        ).astype(np.int32)
+        comp_mask = sample_out.completion_mask
+        kv_mask = np.concatenate(
+            [np.repeat(prompt_mask, G, axis=0), comp_mask], axis=1
+        ).astype(bool)
+        comp_pos = (
+            (deltas.reshape(-1, 1) - pad) + Pb + np.arange(C)[None, :]
+        )
+        comp_pos = np.repeat(comp_pos, G, axis=0)
+        pos_full = np.concatenate(
+            [
+                np.repeat(pos_p, G, axis=1),
+                np.broadcast_to(comp_pos[None], (3, G, C)),
+            ],
+            axis=2,
+        ).astype(np.int32)
+
+        batch = {
+            "input_ids": full_ids,
+            "kv_mask": kv_mask,
+            "position_ids": pos_full,
+            "completion_mask": comp_mask.astype(np.int32),
+            "advantages": advantages.astype(np.float32),
+        }
+        if pixel_values is not None:
+            batch["pixel_values"] = np.asarray(pixel_values, np.float32)
+
+        self.params, self.opt_state, metrics = self.step_fn(
+            self.params, self.ref_params, self.opt_state, batch,
+            grid_thw=grid_thw, num_generations=G, prompt_len=Pb,
+        )
+        t_update = time.perf_counter()
+
+        # --- metrics (SG_RLVR_trainer.py:650-683 equivalents)
+        m = self._metrics
+        m["completion_length"].append(float(sample_out.lengths.mean()))
+        for i, fn in enumerate(self.reward_funcs):
+            m[f"rewards/{getattr(fn, '__name__', f'reward_{i}')}"].append(
+                float(rewards_per_func[:, i].mean())
+            )
+        group = rewards.reshape(-1, G)
+        m["all_wrong"].append(float((group <= 1).all(axis=1).mean()))
+        m["all_correct"].append(float((group >= 2).all(axis=1).mean()))
+        if args.temporal:
+            m["temporal_rewards"].append(temporal_flag)
+        m["reward"].append(float(rewards.mean()))
+        m["reward_std"].append(float(group.std(axis=1, ddof=1).mean()))
+        m["kl"].append(float(metrics["kl"]))
+        m["loss"].append(float(metrics["loss"]))
+        m["grad_norm"].append(float(metrics["grad_norm"]))
+        m["time/rollout_s"].append(t_rollout - t_start)
+        m["time/reward_s"].append(t_reward - t_rollout)
+        m["time/update_s"].append(t_update - t_reward)
+        return metrics
+
+    def _compute_rewards(self, row: dict, completions: list[str]) -> np.ndarray:
+        n = len(completions)
+        out = np.zeros((n, len(self.reward_funcs)), np.float32)
+        reward_kwargs = {
+            k: [row[k]] * n for k in row.keys()
+            if k not in ("prompt", "completion")
+        }
+        comps = [[{"content": c}] for c in completions]
+        for i, fn in enumerate(self.reward_funcs):
+            kwargs = dict(reward_kwargs)
+            if fn.__name__ == "accuracy_reward":
+                kwargs["map_data"] = self.map_data
+            vals = fn(
+                completions=comps,
+                solution=reward_kwargs.get("solution", [""] * n),
+                **{k: v for k, v in kwargs.items() if k != "solution"},
+            )
+            out[:, i] = np.asarray(vals, np.float32)
+        return out
+
+    # -- loop ------------------------------------------------------------
+
+    def train(self, resume_from_checkpoint: str | None = None):
+        args = self.args
+        if resume_from_checkpoint:
+            self.load_checkpoint(resume_from_checkpoint)
+        rng = np.random.default_rng(args.seed + self.global_step)
+        order = rng.permutation(len(self.dataset))
+        total = args.max_steps or len(order) * args.num_train_epochs
+        for epoch in range(args.num_train_epochs):
+            for idx in order:
+                if self.global_step >= total:
+                    return
+                row = self.dataset[int(idx)]
+                try:
+                    self.training_step(row, rng)
+                except Exception as e:  # degrade like the reference
+                    self.logger.log_event(
+                        {"step": self.global_step, "error": repr(e),
+                         "problem_id": row.get("problem_id")}
+                    )
+                    raise
+                self.global_step += 1
+                if self.global_step % args.logging_steps == 0:
+                    self._flush_metrics()
+                if self.global_step % args.save_steps == 0:
+                    self.save_checkpoint()
+
+    def _flush_metrics(self):
+        avg = {k: sum(v) / len(v) for k, v in self._metrics.items() if v}
+        avg["step"] = self.global_step
+        self.logger.log_metrics(avg)
+        self._metrics.clear()
+
+    # -- checkpointing ----------------------------------------------------
+
+    def save_checkpoint(self, path: str | None = None):
+        from spacer_tpu.train.checkpoint import save_train_state
+
+        path = path or os.path.join(
+            self.args.output_dir, f"checkpoint-{self.global_step}"
+        )
+        save_train_state(
+            path, self.params, self.opt_state,
+            {"global_step": self.global_step},
+        )
+        return path
+
+    def load_checkpoint(self, path: str):
+        from spacer_tpu.train.checkpoint import restore_train_state
+
+        self.params, self.opt_state, meta = restore_train_state(
+            path, self.params, self.opt_state
+        )
+        self.global_step = int(meta.get("global_step", 0))
