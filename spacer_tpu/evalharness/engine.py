@@ -1,0 +1,99 @@
+"""Inference engines for the eval workers.
+
+QwenEngine is the production path: VLProcessor + the on-mesh KV-cached
+sampler over the loaded params (replacing the reference's per-process torch
+model + model.generate, e.g. vsibench.py:79-183).  EchoEngine is a test
+double so harness plumbing can be exercised without weights.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol, Sequence
+
+import numpy as np
+
+
+class InferenceEngine(Protocol):
+    def generate(self, messages_list: Sequence[list], *, max_new_tokens: int,
+                 temperature: float) -> list[str]: ...
+
+
+class QwenEngine:
+    """Batched multimodal generation on TPU."""
+
+    def __init__(self, cfg, params, processor, attn_impl=None,
+                 length_bucket: int = 512, top_p: float = 1.0, seed: int = 0):
+        from spacer_tpu.sampler import Sampler
+
+        self.cfg = cfg
+        self.params = params
+        self.processor = processor
+        self.top_p = top_p
+        self.seed = seed
+        self._calls = 0
+        self.sampler = Sampler(
+            cfg,
+            eos_token_id=processor.eos_token_id,
+            pad_token_id=processor.pad_token_id,
+            attn_impl=attn_impl,
+            length_bucket=length_bucket,
+        )
+
+    def generate(self, messages_list, *, max_new_tokens: int = 128,
+                 temperature: float = 0.01) -> list[str]:
+        from spacer_tpu.models.qwen25_vl import get_rope_index
+
+        enc = self.processor.process_messages(
+            list(messages_list), add_generation_prompt=True
+        )
+        pos, deltas = get_rope_index(
+            self.cfg,
+            enc["input_ids"],
+            image_grid_thw=enc.get("image_grid_thw"),
+            video_grid_thw=enc.get("video_grid_thw"),
+            second_per_grid_ts=enc.get("second_per_grid_ts"),
+            attention_mask=enc["attention_mask"],
+        )
+        # pack both modalities the way the model consumes them
+        pixel_values = None
+        grid_thw = None
+        vision_embeds = None
+        if "pixel_values_videos" in enc and "pixel_values" in enc:
+            # mixed batches: encode each modality separately and concatenate
+            # in placeholder order is not needed for the supported benchmarks
+            raise NotImplementedError("mixed image+video batch")
+        if "pixel_values_videos" in enc:
+            pixel_values = enc["pixel_values_videos"]
+            grid_thw = tuple(tuple(int(x) for x in g)
+                             for g in enc["video_grid_thw"])
+        elif "pixel_values" in enc:
+            pixel_values = enc["pixel_values"]
+            grid_thw = tuple(tuple(int(x) for x in g)
+                             for g in enc["image_grid_thw"])
+
+        self._calls += 1
+        out = self.sampler.generate(
+            enc["input_ids"], enc["attention_mask"], self.params,
+            position_ids=pos, deltas=deltas,
+            pixel_values=pixel_values, grid_thw=grid_thw,
+            num_generations=1, max_new_tokens=max_new_tokens,
+            temperature=temperature, top_p=self.top_p,
+            seed=self.seed + self._calls,
+        )
+        return self.processor.tokenizer.batch_decode(
+            [seq[:n] for seq, n in zip(out.sequences, out.lengths)],
+            skip_special_tokens=True,
+        )
+
+
+class EchoEngine:
+    """Deterministic test engine: returns canned or template answers."""
+
+    def __init__(self, responder=None):
+        self.responder = responder or (lambda messages: "<answer>A</answer>")
+        self.calls: list = []
+
+    def generate(self, messages_list, *, max_new_tokens: int = 128,
+                 temperature: float = 0.01) -> list[str]:
+        self.calls.append(len(messages_list))
+        return [self.responder(m) for m in messages_list]
