@@ -20,3 +20,27 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (big win on remote-compile TPU
+    backends where each compile is a network round trip).  Opt out with
+    SPACER_NO_COMPILE_CACHE=1; honor an explicit JAX cache dir if set."""
+    if _os.environ.get("SPACER_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "spacer_tpu_xla"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

@@ -39,6 +39,14 @@ class VisionLayout(NamedTuple):
     window_segments: np.ndarray   # (S,) segment id per token, window order
     full_segments: np.ndarray     # (S,) frame-chunk segment id, window order
     seq_len: int
+    # padded-window fast path: each token belongs to exactly one window of at
+    # most `win_tokens` tokens; attention inside windows is dense + masked.
+    win_gather: np.ndarray        # (n_win, win_tokens) token idx (window order)
+    win_valid: np.ndarray         # (n_win, win_tokens) bool
+    win_scatter: np.ndarray       # (S,) index into flattened (n_win*win_tokens)
+    # uniform frame-chunk fast path for full-attention layers (or 0 if the
+    # chunks are ragged and the segment-mask path must be used)
+    full_chunk: int
 
 
 @functools.lru_cache(maxsize=256)
@@ -108,13 +116,42 @@ def _vision_layout_cached(grid_thw: tuple, spatial_merge_size: int,
     window_segments = np.concatenate(win_seg_parts)
     full_segments = np.concatenate(full_seg_parts)
     reverse_index = np.argsort(window_index)
+    S = int(pos_hw.shape[0])
+
+    # --- padded-window gather/scatter (tokens are contiguous per window in
+    # window order, so each window is a [start, start+len) slice)
+    win_tokens = vws * vws * mu
+    # window id per token is non-decreasing; compute starts/lengths
+    _, starts, lengths = np.unique(
+        window_segments, return_index=True, return_counts=True
+    )
+    n_win = len(starts)
+    slot = np.arange(win_tokens)
+    win_gather = starts[:, None] + np.minimum(slot[None, :],
+                                              lengths[:, None] - 1)
+    win_valid = slot[None, :] < lengths[:, None]
+    # each token's (window, slot) in the flattened padded layout
+    win_scatter = np.empty(S, np.int64)
+    for w in range(n_win):
+        win_scatter[starts[w] : starts[w] + lengths[w]] = (
+            w * win_tokens + np.arange(lengths[w])
+        )
+
+    # --- uniform frame-chunk size for full-attention layers
+    _, chunk_counts = np.unique(full_segments, return_counts=True)
+    full_chunk = int(chunk_counts[0]) if len(set(chunk_counts)) == 1 else 0
+
     return VisionLayout(
         window_index=window_index,
         reverse_index=reverse_index,
         pos_hw=pos_hw,
         window_segments=window_segments,
         full_segments=full_segments,
-        seq_len=int(pos_hw.shape[0]),
+        seq_len=S,
+        win_gather=win_gather,
+        win_valid=win_valid,
+        win_scatter=win_scatter,
+        full_chunk=full_chunk,
     )
 
 
@@ -158,20 +195,15 @@ def init_vit_params(key, cfg: VisionConfig, dtype=jnp.float32) -> Params:
     }
 
 
-def _vit_block(h, block_params, *, cfg: VisionConfig, cos, sin, segs, attn_impl):
-    """h: (S, D). segs: (S,) segment ids for block-diagonal attention."""
+def _vit_block(h, block_params, *, cfg: VisionConfig, cos, sin, attn_apply):
+    """h: (S, D). attn_apply(q, k, v) -> (S, H, Dh)."""
     S, D = h.shape
     H, Dh = cfg.num_heads, cfg.head_dim
     x = rms_norm(block_params["norm1"], h, 1e-6)
     qkv = dense(block_params["attn"]["qkv"], x).reshape(S, 3, H, Dh)
     q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
     q, k = apply_vision_rope(q, k, cos, sin)
-    attn = dot_product_attention(
-        q[None], k[None], v[None],
-        causal=False,
-        q_segment_ids=segs[None], kv_segment_ids=segs[None],
-        impl=attn_impl,
-    )[0]
+    attn = attn_apply(q, k, v)
     h = h + dense(block_params["attn"]["proj"], attn.reshape(S, H * Dh))
 
     x = rms_norm(block_params["norm2"], h, 1e-6)
@@ -200,32 +232,97 @@ def vit_forward(
     window_index = jnp.asarray(layout.window_index)
     h = h.reshape(S // mu, mu, -1)[window_index].reshape(S, -1)
 
-    cos, sin = vision_rope_cos_sin(
-        jnp.asarray(layout.pos_hw), cfg.head_dim, cfg.rope_theta
-    )
-    win_segs = jnp.asarray(layout.window_segments)
+    H, Dh = cfg.num_heads, cfg.head_dim
+
+    # --- padded-window layout: convert ONCE, run every layer at S_pad ------
+    # Each token sits in exactly one window; padding windows to a uniform
+    # `wt` tokens makes windowed attention a free reshape (28 of 32 layers)
+    # at the cost of (S_pad - S)/S extra matmul work (typically <10%).
+    win_valid = jnp.asarray(layout.win_valid)        # (n_win, wt)
+    n_win, wt = layout.win_gather.shape
+    pad_gather = jnp.asarray(layout.win_gather.reshape(-1))  # (S_pad,)
+    to_compact = jnp.asarray(layout.win_scatter)     # (S,) -> padded idx
+    S_pad = n_win * wt
+    full_chunk = layout.full_chunk
     full_segs = jnp.asarray(layout.full_segments)
 
-    # fullatt_block_indexes is static -> per-layer segment selection is a
-    # host-side boolean array scanned alongside the stacked params.
-    is_full = jnp.asarray(
-        [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
+    h = h[pad_gather]  # (S_pad, D); pad slots replicate a window token
+    cos, sin = vision_rope_cos_sin(
+        jnp.asarray(layout.pos_hw[layout.win_gather.reshape(-1)]),
+        cfg.head_dim, cfg.rope_theta,
     )
 
-    def body(h, xs):
-        block_params, full_flag = xs
-        segs = jnp.where(full_flag, full_segs, win_segs)
-        fn = functools.partial(
-            _vit_block, cfg=cfg, cos=cos, sin=sin, attn_impl=attn_impl
+    def windowed_attn(qkv):
+        """Reshape into (n_win, wt) windows — zero gathers."""
+        q, k, v = qkv
+        out = dot_product_attention(
+            q.reshape(n_win, wt, H, Dh),
+            k.reshape(n_win, wt, H, Dh),
+            v.reshape(n_win, wt, H, Dh),
+            causal=False, kv_mask=win_valid, impl="xla",
         )
-        if remat:
-            fn = jax.checkpoint(lambda hh, bp, sg: _vit_block(
-                hh, bp, cfg=cfg, cos=cos, sin=sin, segs=sg, attn_impl=attn_impl
-            ))
-            return fn(h, block_params, segs), None
-        return fn(h, block_params, segs=segs), None
+        return out.reshape(S_pad, H, Dh)
 
-    h, _ = jax.lax.scan(body, h, (params["blocks"], is_full))
+    def full_attn(qkv):
+        """Gather to the compact order (frame chunks contiguous), attend,
+        scatter back.  Chunks are small and head_dim is 80, so XLA beats
+        the flash kernel here."""
+        q, k, v = (x[to_compact] for x in qkv)
+        if full_chunk > 0:
+            nc = S // full_chunk
+            out = dot_product_attention(
+                q.reshape(nc, full_chunk, H, Dh),
+                k.reshape(nc, full_chunk, H, Dh),
+                v.reshape(nc, full_chunk, H, Dh),
+                causal=False, impl=attn_impl or "xla",
+            ).reshape(S, H, Dh)
+        else:
+            out = dot_product_attention(
+                q[None], k[None], v[None], causal=False,
+                q_segment_ids=full_segs[None], kv_segment_ids=full_segs[None],
+                impl=attn_impl or "xla",
+            )[0]
+        return out[pad_gather]
+
+    # fullatt_block_indexes is static: split the depth into contiguous runs
+    # of windowed layers (scanned) with full-attention layers unrolled in
+    # between — no runtime branching inside the scan body.
+    def win_block(hh, bp):
+        return _vit_block(hh, bp, cfg=cfg, cos=cos, sin=sin,
+                          attn_apply=lambda q, k, v: windowed_attn((q, k, v)))
+
+    def full_block(hh, bp):
+        return _vit_block(hh, bp, cfg=cfg, cos=cos, sin=sin,
+                          attn_apply=lambda q, k, v: full_attn((q, k, v)))
+
+    if remat:
+        win_block = jax.checkpoint(win_block)
+        full_block = jax.checkpoint(full_block)
+
+    full_set = set(cfg.fullatt_block_indexes)
+    runs: list[tuple[bool, int, int]] = []  # (is_full, start, stop)
+    i = 0
+    while i < cfg.depth:
+        j = i
+        is_full_i = i in full_set
+        while j < cfg.depth and (j in full_set) == is_full_i:
+            j += 1
+        runs.append((is_full_i, i, j))
+        i = j
+
+    def slice_params(a, b):
+        return jax.tree.map(lambda x: x[a:b], params["blocks"])
+
+    for is_full_run, a, b in runs:
+        if is_full_run:
+            for li in range(a, b):
+                bp = jax.tree.map(lambda x: x[li], params["blocks"])
+                h = full_block(h, bp)
+        else:
+            h, _ = jax.lax.scan(
+                lambda hh, bp: (win_block(hh, bp), None), h, slice_params(a, b)
+            )
+    h = h[to_compact]  # back to the compact window-order layout
 
     # merger: rmsnorm -> group 4 -> linear/gelu/linear
     m = params["merger"]
