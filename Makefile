@@ -1,0 +1,23 @@
+# Quality / build targets (reference: src/r1-v/Makefile style+quality).
+
+check_dirs := spacer_tpu tests bench.py __graft_entry__.py
+
+.PHONY: style quality test native clean
+
+style:
+	python -m black $(check_dirs) 2>/dev/null || true
+	python -m isort $(check_dirs) 2>/dev/null || true
+
+quality:
+	python -m flake8 --max-line-length 100 $(check_dirs) 2>/dev/null || \
+	    python -m pyflakes $(check_dirs) 2>/dev/null || true
+
+test:
+	python -m pytest tests/ -x -q
+
+native:
+	$(MAKE) -C native
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
