@@ -27,25 +27,34 @@ def per_token_logps_from_logits(logits, target_ids):
 
 def chunked_per_token_logps(hidden, head_kernel, target_ids, chunk: int = 256):
     """Memory-bounded per-token logps: scan over sequence chunks so the
-    (B, S, V) logits tensor is never materialized.
+    (B, S, V) logits tensor is never materialized — in the forward OR the
+    backward: the chunk body is checkpointed, so backward recomputes each
+    chunk's logits instead of saving them (the difference between ~1 and
+    ~15 GB at (8, 3k, 152k)).
 
     hidden: (B, S, D) final hidden states aligned so position i predicts
-    target_ids[:, i].  head_kernel: (D, V).
+    target_ids[:, i].  head_kernel: (D, V).  The matmul runs in the input
+    dtype with f32 accumulation; softmax statistics are f32.
     """
     B, S, D = hidden.shape
+
+    def chunk_logps(h, t):
+        logits = jnp.einsum("bsd,dv->bsv", h, head_kernel,
+                            preferred_element_type=jnp.float32)
+        return per_token_logps_from_logits(logits, t)
+
     if S <= chunk:
-        logits = jnp.einsum("bsd,dv->bsv", hidden, head_kernel)
-        return per_token_logps_from_logits(logits, target_ids)
+        return chunk_logps(hidden, target_ids)
     pad = (-S) % chunk
     if pad:
         hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
         target_ids = jnp.pad(target_ids, ((0, 0), (0, pad)))
     n = (S + pad) // chunk
+    chunk_logps = jax.checkpoint(chunk_logps)
 
     def body(carry, xs):
         h, t = xs  # (B, chunk, D), (B, chunk)
-        logits = jnp.einsum("bsd,dv->bsv", h, head_kernel)
-        return carry, per_token_logps_from_logits(logits, t)
+        return carry, chunk_logps(h, t)
 
     hs = hidden.reshape(B, n, chunk, D).transpose(1, 0, 2, 3)
     ts = target_ids.reshape(B, n, chunk).transpose(1, 0, 2)

@@ -51,9 +51,8 @@ def _completion_logps(
     # position i predicts token i+1; completion tokens are ids[:, P:]
     h = hidden[:, prompt_len - 1 : -1]
     targets = input_ids[:, prompt_len:]
-    head = _head_kernel(params["model"], cfg.text).astype(jnp.float32)
-    return chunked_per_token_logps(h.astype(jnp.float32), head, targets,
-                                   chunk=logp_chunk)
+    head = _head_kernel(params["model"], cfg.text)
+    return chunked_per_token_logps(h, head, targets, chunk=logp_chunk)
 
 
 def make_grpo_train_step(
