@@ -18,15 +18,6 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _gqa_expand(k, hq):
-    """(B, S, Hkv, D) -> (B, S, Hq, D) by repeating kv heads."""
-    b, s, hkv, d = k.shape
-    if hkv == hq:
-        return k
-    rep = hq // hkv
-    return jnp.repeat(k, rep, axis=2)
-
-
 def xla_attention(
     q, k, v, *, causal=False, q_segment_ids=None, kv_segment_ids=None,
     kv_mask=None, scale=None, q_offset=0,
@@ -40,29 +31,33 @@ def xla_attention(
     - `kv_mask`: (B, Skv) bool; False positions are masked out.
     """
     b, sq, hq, d = q.shape
+    hkv = k.shape[2]
     skv = k.shape[1]
     if scale is None:
         scale = d ** -0.5
-    k = _gqa_expand(k, hq)
-    v = _gqa_expand(v, hq)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    group = hq // hkv
+
+    # grouped-query attention without materializing repeated kv (a 4x cache
+    # bandwidth saving on the decode path)
+    qg = q.reshape(b, sq, hkv, group, d).astype(jnp.float32)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k.astype(jnp.float32))
     logits = logits * scale
 
-    mask = jnp.ones((b, 1, sq, skv), dtype=bool)
+    mask = jnp.ones((b, 1, 1, sq, skv), dtype=bool)
     if causal:
         qpos = jnp.arange(sq)[:, None] + q_offset
         kpos = jnp.arange(skv)[None, :]
-        mask = mask & (kpos <= qpos)[None, None, :, :]
+        mask = mask & (kpos <= qpos)[None, None, None, :, :]
     if kv_mask is not None:
-        mask = mask & kv_mask[:, None, None, :]
+        mask = mask & kv_mask[:, None, None, None, :]
     if q_segment_ids is not None and kv_segment_ids is not None:
         seg = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
-        mask = mask & seg[:, None, :, :]
+        mask = mask & seg[:, None, None, :, :]
 
     logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v.astype(jnp.float32))
+    return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
 def _on_tpu() -> bool:

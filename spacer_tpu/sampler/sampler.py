@@ -38,21 +38,43 @@ class SampleOutput:
     lengths: np.ndarray          # (B*G,) completion lengths (mask sums)
 
 
-def sample_logits(logits, rng, temperature: float, top_p: float):
-    """Sample token ids from (B, V) logits. Exact nucleus sampling."""
+def _topp_threshold(sorted_logits, lse, top_p):
+    """Smallest kept logit per row given descending logits and the FULL
+    distribution's logsumexp (exact nucleus semantics)."""
+    probs = jnp.exp(sorted_logits - lse)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p  # smallest prefix reaching top_p, >= 1 token
+    return jnp.min(
+        jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+
+
+def sample_logits(logits, rng, temperature: float, top_p: float,
+                  top_k_prefilter: int = 128):
+    """Sample token ids from (B, V) logits. Exact nucleus sampling.
+
+    Fast path: the nucleus almost always fits in the top `top_k_prefilter`
+    logits, so a lax.top_k (cheap) replaces the full-vocab sort; when the
+    top-k prefix does not reach top_p mass, an exact full-sort branch runs
+    instead (lax.cond), keeping semantics exact for flat distributions.
+    """
     if temperature is None or temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
     logits = logits.astype(jnp.float32) / temperature
     if top_p is not None and top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(sorted_probs, axis=-1)
-        # keep the smallest prefix with cumulative prob >= top_p (always >= 1 token)
-        keep_sorted = (cum - sorted_probs) < top_p
-        # threshold logit = smallest kept logit per row
-        kept_min = jnp.min(
-            jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
-        )
+        lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        kk = min(top_k_prefilter, logits.shape[-1])
+        topv, _ = jax.lax.top_k(logits, kk)
+        covered = jnp.exp(topv - lse).sum(axis=-1) >= top_p  # per row
+
+        def fast(_):
+            return _topp_threshold(topv, lse, top_p)
+
+        def exact(_):
+            full_sorted = jnp.sort(logits, axis=-1)[:, ::-1]
+            return _topp_threshold(full_sorted, lse, top_p)
+
+        kept_min = jax.lax.cond(jnp.all(covered), fast, exact, None)
         logits = jnp.where(logits >= kept_min, logits, -jnp.inf)
     return jax.random.categorical(rng, logits, axis=-1)
 
