@@ -106,6 +106,106 @@ def _layer(
     return h, new_cache
 
 
+def _decode_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
+                  cos, sin, prefix_mask, tail_mask, tail_index, group: int):
+    """One decoder layer for shared-prefix decode.
+
+    h: (B*G, 1, D) current-token hidden states.
+    pk/pv: (B, P, Hkv, Dh) prefix cache (shared across the G completions of
+    each prompt — read ONCE per step for the whole group).
+    tk/tv: (B*G, NEW, Hkv, Dh) per-completion tail cache; the current k/v is
+    written at tail_index.
+    """
+    N, _, D = h.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    B = pk.shape[0]
+    G = group
+    P = pk.shape[1]
+    p_attn = layer_params["self_attn"]
+
+    x = rms_norm(layer_params["input_layernorm"], h, cfg.rms_norm_eps)
+    q = dense(p_attn["q_proj"], x).reshape(N, 1, H, Dh)
+    k = dense(p_attn["k_proj"], x).reshape(N, 1, Hkv, Dh)
+    v = dense(p_attn["v_proj"], x).reshape(N, 1, Hkv, Dh)
+    q, k = apply_rope(q, k, cos, sin)
+
+    tk = jax.lax.dynamic_update_slice(tk, k.astype(tk.dtype),
+                                      (0, tail_index, 0, 0))
+    tv = jax.lax.dynamic_update_slice(tv, v.astype(tv.dtype),
+                                      (0, tail_index, 0, 0))
+
+    scale = Dh ** -0.5
+    group_q = H // Hkv
+    qf = q.reshape(B, G, Hkv, group_q, Dh).astype(jnp.float32) * scale
+    # prefix logits: one read of (B, P) kv serves all G rows
+    lp = jnp.einsum("bghcd,bphd->bghcp", qf, pk.astype(jnp.float32))
+    lp = jnp.where(prefix_mask[:, None, None, None, :],
+                   lp, -1e30)  # (B, G, Hkv, group, P)
+    # tail logits per completion row
+    qt = qf.reshape(N, Hkv, group_q, Dh)
+    lt = jnp.einsum("nhcd,nthd->nhct", qt, tk.astype(jnp.float32))
+    lt = jnp.where(tail_mask[:, None, None, :], lt, -1e30)
+
+    full = jnp.concatenate(
+        [lp.reshape(N, Hkv, group_q, P), lt], axis=-1
+    )  # (N, Hkv, group, P+NEW)
+    probs = jax.nn.softmax(full, axis=-1)
+    probs_p = probs[..., :P].reshape(B, G, Hkv, group_q, P)
+    probs_t = probs[..., P:]
+    out = (
+        jnp.einsum("bghcp,bphd->bghcd", probs_p, pv.astype(jnp.float32))
+        .reshape(N, Hkv, group_q, Dh)
+        + jnp.einsum("nhct,nthd->nhcd", probs_t, tv.astype(jnp.float32))
+    ).astype(h.dtype)
+    h = h + dense(p_attn["o_proj"], out.reshape(N, 1, H * Dh))
+
+    x = rms_norm(layer_params["post_attention_layernorm"], h, cfg.rms_norm_eps)
+    p_mlp = layer_params["mlp"]
+    gate = jax.nn.silu(dense(p_mlp["gate_proj"], x))
+    up = dense(p_mlp["up_proj"], x)
+    h = h + dense(p_mlp["down_proj"], gate * up)
+    return h, (tk, tv)
+
+
+def lm_decode_step(
+    params: Params,
+    cfg: TextConfig,
+    input_ids,            # (B*G, 1)
+    position_ids,         # (3, B*G, 1)
+    prefix_cache,         # {"k","v": (L, B, P, Hkv, Dh)}
+    prefix_mask,          # (B, P)
+    tail_cache,           # {"k","v": (L, B*G, NEW, Hkv, Dh)}
+    tail_mask,            # (B*G, NEW) — valid tail positions incl. current
+    tail_index,           # scalar write position in the tail
+    group: int,
+):
+    """Shared-prefix decode step -> (logits (B*G, 1, V), new tail_cache)."""
+    h = embed(params["embed_tokens"], input_ids)
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
+    cos, sin = mrope_cos_sin(position_ids, inv_freq, cfg.mrope_section)
+
+    def scan_body(h, xs):
+        layer_params, pk, pv, tk, tv = xs
+        h, (tk, tv) = _decode_layer(
+            h, layer_params, pk, pv, tk, tv, cfg=cfg, cos=cos, sin=sin,
+            prefix_mask=prefix_mask, tail_mask=tail_mask,
+            tail_index=tail_index, group=group,
+        )
+        return h, (tk, tv)
+
+    h, (nk, nv) = jax.lax.scan(
+        scan_body, h,
+        (params["layers"], prefix_cache["k"], prefix_cache["v"],
+         tail_cache["k"], tail_cache["v"]),
+    )
+    h = rms_norm(params["norm"], h, cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        logits = jnp.dot(h, params["embed_tokens"]["embedding"].T)
+    else:
+        logits = dense(params["lm_head"], h)
+    return logits, {"k": nk, "v": nv}
+
+
 def lm_forward(
     params: Params,
     cfg: TextConfig,

@@ -80,35 +80,36 @@ def sample_logits(logits, rng, temperature: float, top_p: float,
 
 
 def _decode_loop(
-    params, text_cfg, cache, kv_mask, first_tokens, deltas, prompt_len,
-    max_new_tokens: int, temperature: float, top_p: float, eos_token_id: int,
-    rng, attn_impl=None,
+    params, text_cfg, prefix_cache, prefix_mask, tail_cache, first_tokens,
+    deltas, prompt_len, group: int, max_new_tokens: int, temperature: float,
+    top_p: float, eos_token_id: int, rng,
 ):
-    """Runs the autoregressive loop. Returns (tokens (B, max_new), done)."""
-    B = first_tokens.shape[0]
-    T = cache["k"].shape[2]
+    """Shared-prefix autoregressive loop. Returns tokens (B*G, max_new)."""
+    from spacer_tpu.models.qwen25_vl.language import lm_decode_step
 
-    tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
+    N = first_tokens.shape[0]
+
+    tokens0 = jnp.zeros((N, max_new_tokens), jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first_tokens.astype(jnp.int32))
     done0 = first_tokens == eos_token_id
+    tail_positions = jnp.arange(max_new_tokens)
 
     def cond(state):
-        step, tokens, done, cache, kv_mask, rng = state
+        step, tokens, done, tail_cache, rng = state
         return (step < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        step, tokens, done, cache, kv_mask, rng = state
-        cur = jax.lax.dynamic_slice(tokens, (0, step - 1), (B, 1))
+        step, tokens, done, tail_cache, rng = state
+        cur = jax.lax.dynamic_slice(tokens, (0, step - 1), (N, 1))
         # position = prompt_len + delta + (step - 1) on all three rope axes
         pos = (prompt_len + deltas.reshape(-1) + step - 1).astype(jnp.int32)
-        pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
-        write_at = prompt_len + step - 1
-        kv_mask = jax.lax.dynamic_update_slice(
-            kv_mask, jnp.ones((B, 1), kv_mask.dtype), (0, write_at)
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, N, 1))
+        tail_mask = jnp.broadcast_to(
+            tail_positions[None, :] < step, (N, max_new_tokens)
         )
-        logits, cache = lm_forward(
-            params["model"], text_cfg, input_ids=cur, position_ids=pos3,
-            kv_mask=kv_mask, cache=cache, cache_index=write_at,
+        logits, tail_cache = lm_decode_step(
+            params["model"], text_cfg, cur, pos3, prefix_cache, prefix_mask,
+            tail_cache, tail_mask, step - 1, group,
         )
         rng, sub = jax.random.split(rng)
         nxt = sample_logits(logits[:, -1], sub, temperature, top_p)
@@ -117,10 +118,10 @@ def _decode_loop(
             tokens, nxt[:, None].astype(jnp.int32), (0, step)
         )
         done = done | (nxt == eos_token_id)
-        return step + 1, tokens, done, cache, kv_mask, rng
+        return step + 1, tokens, done, tail_cache, rng
 
-    state = (jnp.int32(1), tokens0, done0, cache, kv_mask, rng)
-    _, tokens, done, _, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (jnp.int32(1), tokens0, done0, tail_cache, rng)
+    _, tokens, done, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens
 
 
@@ -136,33 +137,30 @@ def _generate_jit(
     *, num_generations: int, max_new_tokens: int, temperature: float,
     top_p: float, eos_token_id: int, attn_impl=None,
 ):
-    """Prefill + tiled grouped decode. input_embeds: (B, S, D) left-padded."""
+    """Prefill once per prompt; decode with the prompt KV SHARED across the
+    G completions (one prefix read per step for the whole group) and a
+    per-completion tail cache.  input_embeds: (B, S, D) left-padded."""
     B, S, _ = input_embeds.shape
     G = num_generations
-    T = S + max_new_tokens
 
-    cache = init_kv_cache(text_cfg, B, T, dtype=input_embeds.dtype)
-    kv_mask = jnp.zeros((B, T), bool)
-    kv_mask = kv_mask.at[:, :S].set(prompt_mask.astype(bool))
-    logits, cache = lm_forward(
+    prefix_cache = init_kv_cache(text_cfg, B, S, dtype=input_embeds.dtype)
+    prefix_mask = prompt_mask.astype(bool)
+    logits, prefix_cache = lm_forward(
         params["model"], text_cfg, input_embeds=input_embeds,
-        position_ids=position_ids, kv_mask=kv_mask, cache=cache,
+        position_ids=position_ids, kv_mask=prefix_mask, cache=prefix_cache,
         cache_index=0, attn_impl=attn_impl,
     )
-    last_logits = logits[:, -1]  # (B, V)
-
-    # Group expansion: each prompt row fans out to G rows sharing its prefix.
-    cache = {k: jnp.repeat(v, G, axis=1) for k, v in cache.items()}
-    kv_mask = jnp.repeat(kv_mask, G, axis=0)
-    last_logits = jnp.repeat(last_logits, G, axis=0)
+    last_logits = jnp.repeat(logits[:, -1], G, axis=0)  # (B*G, V)
     deltas = jnp.repeat(deltas.reshape(-1), G, axis=0)
+
+    tail_cache = init_kv_cache(text_cfg, B * G, max_new_tokens,
+                               dtype=input_embeds.dtype)
 
     rng, sub = jax.random.split(rng)
     first = sample_logits(last_logits, sub, temperature, top_p)
     tokens = _decode_loop(
-        params, text_cfg, cache, kv_mask, first, deltas, S,
-        max_new_tokens, temperature, top_p, eos_token_id, rng,
-        attn_impl=attn_impl,
+        params, text_cfg, prefix_cache, prefix_mask, tail_cache, first,
+        deltas, S, G, max_new_tokens, temperature, top_p, eos_token_id, rng,
     )
     return tokens
 
