@@ -56,8 +56,10 @@ class SGRLVRConfig:
     len_control: bool = True
     num_train_epochs: int = 1
     max_steps: int | None = None
+    gradient_accumulation_steps: int = 1
     logging_steps: int = 1
     save_steps: int = 1000
+    skip_failed_steps: bool = True
     output_dir: str = "output"
     seed: int = 42
     min_pixels: int = 3136
@@ -109,6 +111,12 @@ class SGRLVRTrainer:
             weight_decay=args.weight_decay,
             max_grad_norm=args.max_grad_norm,
         )
+        if args.gradient_accumulation_steps > 1:
+            import optax
+
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=args.gradient_accumulation_steps
+            )
         self.opt_state = self.tx.init(self.params)
         self.sampler = Sampler(
             cfg,
@@ -364,12 +372,16 @@ class SGRLVRTrainer:
                 row = self.dataset[int(idx)]
                 try:
                     self.training_step(row, rng)
-                except Exception as e:  # degrade like the reference
+                except Exception as e:
+                    # degrade instead of crashing (the reference absorbs
+                    # failures via its try/except fallbacks, SURVEY.md §4)
                     self.logger.log_event(
                         {"step": self.global_step, "error": repr(e),
                          "problem_id": row.get("problem_id")}
                     )
-                    raise
+                    if not self.args.skip_failed_steps:
+                        raise
+                    continue
                 self.global_step += 1
                 if self.global_step % args.logging_steps == 0:
                     self._flush_metrics()
