@@ -161,7 +161,9 @@ def export_to_safetensors(params, cfg: Qwen25VLConfig, out_path: str):
     out: dict[str, np.ndarray] = {}
 
     def put(name, x):
-        out[name] = np.asarray(x, dtype=np.float32)
+        # ascontiguousarray is load-bearing: safetensors serializes the raw
+        # buffer, silently ignoring the strides of transposed views
+        out[name] = np.ascontiguousarray(np.asarray(x, dtype=np.float32))
 
     m = params["model"]
     put("model.embed_tokens.weight", m["embed_tokens"]["embedding"])
