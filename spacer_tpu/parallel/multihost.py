@@ -1,0 +1,86 @@
+"""Multi-host (DCN) utilities.
+
+Replaces the reference's torchrun/NCCL host-side machinery (SURVEY.md §2.4):
+`jax.distributed.initialize()` per host, one global Mesh over all chips, and
+the helpers below for the two host-side exchanges the SG-RLVR loop needs —
+assembling a global batch from per-host rows, and gathering reward/metric
+scalars and python objects (completion strings) across hosts.
+
+Single-host runs work unchanged: every helper degrades to the identity when
+jax.process_count() == 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def initialize(**kwargs) -> None:
+    """jax.distributed.initialize, tolerant of single-host runs."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # single-host / already initialized
+
+
+def global_mesh(tp: int = 1):
+    """Mesh over ALL processes' devices (ICI within hosts, DCN across)."""
+    from spacer_tpu.parallel.mesh import create_mesh
+
+    return create_mesh(devices=jax.devices(), tp=tp)
+
+
+def global_batch_from_local(local_batch: dict, mesh, batch_axes=("data", "fsdp")):
+    """Per-host numpy batch -> global jax.Arrays sharded over the batch axes.
+
+    Each host contributes its local rows; together they form the global
+    batch (jax.make_array_from_process_local_data handles placement).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return local_batch
+
+    def place(x):
+        x = np.asarray(x)
+        spec = P(batch_axes) if x.ndim >= 1 else P()
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x
+        )
+
+    return {k: place(v) for k, v in local_batch.items()}
+
+
+def all_gather_objects(obj: Any) -> list[Any]:
+    """Gather an arbitrary python object from every host (reward strings,
+    completion texts — the analogue of accelerate's gather_object,
+    vllm_grpo_trainer_modified.py:546-547)."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    return list(multihost_utils.process_allgather(obj, tiled=False))
+
+
+def broadcast_from_host0(obj: Any) -> Any:
+    """broadcast_object_list equivalent (vllm_grpo_trainer_modified.py:603)."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(obj)
+
+
+def mean_across_hosts(value: float) -> float:
+    """Scalar metric mean (gather_for_metrics equivalent)."""
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(np.asarray(value, np.float64))
+    return float(np.mean(arr))

@@ -192,12 +192,15 @@ class SGRLVRTrainer:
 
     # -- one training step ---------------------------------------------
 
-    def training_step(self, row: dict, rng: np.random.Generator):
+    def training_step(self, row: dict, rng: np.random.Generator,
+                      prepared=None):
         args = self.args
         G = args.num_generations
         t_start = time.perf_counter()
 
-        enc, has_video = self._prepare_inputs(row)
+        enc, has_video = prepared if prepared is not None else (
+            self._prepare_inputs(row)
+        )
         enc = self._truncate_prompt(enc)
         pos, deltas = self._positions(enc)
 
@@ -365,13 +368,33 @@ class SGRLVRTrainer:
         rng = np.random.default_rng(args.seed + self.global_step)
         order = rng.permutation(len(self.dataset))
         total = args.max_steps or len(order) * args.num_train_epochs
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Host-side prefetch: decode+preprocess the NEXT row's video while
+        # the current step trains (the reference decodes synchronously every
+        # step — SURVEY.md §3.1 hot loop (c)).
+        prefetch = ThreadPoolExecutor(max_workers=1)
+
+        def submit(i):
+            if i >= len(order):
+                return None
+            r = self.dataset[int(order[i])]
+            return prefetch.submit(self._prepare_inputs, r)
+
         for epoch in range(args.num_train_epochs):
-            for idx in order:
+            pending = submit(0)
+            for i, idx in enumerate(order):
                 if self.global_step >= total:
+                    prefetch.shutdown(wait=False)
                     return
                 row = self.dataset[int(idx)]
                 try:
-                    self.training_step(row, rng)
+                    prepared = pending.result() if pending is not None else None
+                except Exception:
+                    prepared = None
+                pending = submit(i + 1)
+                try:
+                    self.training_step(row, rng, prepared=prepared)
                 except Exception as e:
                     # degrade instead of crashing (the reference absorbs
                     # failures via its try/except fallbacks, SURVEY.md §4)
@@ -387,6 +410,7 @@ class SGRLVRTrainer:
                     self._flush_metrics()
                 if self.global_step % args.save_steps == 0:
                     self.save_checkpoint()
+        prefetch.shutdown(wait=False)
 
     def _flush_metrics(self):
         avg = {k: sum(v) / len(v) for k, v in self._metrics.items() if v}
