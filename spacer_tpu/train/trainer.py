@@ -229,6 +229,13 @@ class SGRLVRTrainer:
              zip(sample_out.sequences, sample_out.lengths)],
             skip_special_tokens=True,
         )
+        from spacer_tpu.utils.logging import debug_trace
+
+        debug_trace(
+            "rollout", step=self.global_step, path=row.get("path"),
+            problem_id=row.get("problem_id"),
+            completions="\n---\n".join(completions),
+        )
         t_rollout = time.perf_counter()
 
         # temporal-shuffle rollout (G/2 generations)

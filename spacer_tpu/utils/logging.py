@@ -43,18 +43,44 @@ def setup_logger(name: str, log_dir: str | None = None,
 
 
 class MetricLogger:
-    """Append-only jsonl metric/event sink under output_dir."""
+    """Append-only jsonl metric/event sink under output_dir.
+
+    When wandb is importable and WANDB_MODE/WANDB_PROJECT is configured
+    (`--report_to wandb` equivalent, run_SpaceR_SFT.sh:22), records are
+    mirrored there; the jsonl stream is always written.
+    """
 
     def __init__(self, output_dir: str):
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.metrics_path = os.path.join(output_dir, "metrics.jsonl")
         self.events_path = os.path.join(output_dir, "events.jsonl")
+        self._wandb = None
+        if os.environ.get("WANDB_PROJECT") or os.environ.get("WANDB_MODE"):
+            try:
+                import wandb
+
+                if wandb.run is None:
+                    wandb.init(
+                        project=os.environ.get("WANDB_PROJECT", "spacer-tpu"),
+                        dir=output_dir,
+                    )
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None
 
     def log_metrics(self, record: dict):
         record = dict(record, _ts=time.time())
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            try:
+                self._wandb.log(
+                    {k: v for k, v in record.items() if k != "_ts"},
+                    step=int(record.get("step", 0)),
+                )
+            except Exception:
+                pass
 
     def log_event(self, record: dict):
         record = dict(record, _ts=time.time())
