@@ -1,0 +1,141 @@
+"""Ring attention: sequence-parallel exact attention over a mesh axis.
+
+Beyond-parity capability (the reference has no sequence/context parallelism
+at all, SURVEY.md §2.3): shards the sequence over a mesh axis and rotates KV
+shards around the ring with ppermute, merging per-shard attention with
+online-softmax statistics.  Exact (not approximate) attention; memory per
+device is O(S/n * S/n) per step instead of O(S^2).
+
+Differentiable: the per-step body is jnp ops (autodiff-able) and each ring
+step is checkpointed, so backward recomputes step internals; ppermute's
+transpose is ppermute, handled by JAX.
+
+Layout contract: q, k, v are (B, S_local, H, D) per device under shard_map
+with the sequence axis sharded on `axis_name`; causal masking uses global
+positions derived from the device's ring index.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = -1e30
+
+
+def _block_attend(q, k, v, *, scale, causal, q_start, k_start, kv_mask_blk):
+    """Raw block scores -> (unnormalized acc, m, l). q: (B, Sq, H, D)."""
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    hkv = k.shape[2]
+    group = H // hkv
+    qg = q.reshape(B, Sq, hkv, group, D).astype(jnp.float32)
+    s = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k.astype(jnp.float32)) * scale
+
+    if causal:
+        qpos = q_start + jnp.arange(Sq)
+        kpos = k_start + jnp.arange(Skv)
+        mask = kpos[None, :] <= qpos[:, None]
+        s = jnp.where(mask[None, None, None], s, NEG_INF)
+    if kv_mask_blk is not None:
+        s = jnp.where(kv_mask_blk[:, None, None, None, :], s, NEG_INF)
+
+    m = jnp.max(s, axis=-1)                                # (B,h,g,Sq)
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("bhgqk,bkhd->bhgqd", p, v.astype(jnp.float32))
+    return acc, m, l
+
+
+def _merge(acc1, m1, l1, acc2, m2, l2):
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m)
+    a2 = jnp.exp(m2 - m)
+    return (
+        acc1 * a1[..., None] + acc2 * a2[..., None],
+        m,
+        l1 * a1 + l2 * a2,
+    )
+
+
+def ring_attention(
+    q, k, v, *, axis_name: str, causal: bool = False,
+    kv_mask=None, scale: Optional[float] = None,
+):
+    """Per-device body (call under shard_map). Shapes: q (B, S_loc, H, D),
+    k/v (B, S_loc, Hkv, D), kv_mask (B, S_loc) or None."""
+    B, S_loc, H, D = q.shape
+    n = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    if scale is None:
+        scale = D ** -0.5
+
+    hkv = k.shape[2]
+    group = H // hkv
+    m0 = jnp.full((B, hkv, group, S_loc), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, hkv, group, S_loc), jnp.float32)
+    acc0 = jnp.zeros((B, hkv, group, S_loc, D), jnp.float32)
+    q_start = my * S_loc
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    @jax.checkpoint
+    def step_fn(carry, i):
+        acc, m, l, kb, vb, maskb = carry
+        src = (my - i) % n  # which shard we currently hold
+        a2, m2, l2 = _block_attend(
+            q, kb, vb, scale=scale, causal=causal,
+            q_start=q_start, k_start=src * S_loc, kv_mask_blk=maskb,
+        )
+        acc, m, l = _merge(acc, m, l, a2, m2, l2)
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        if maskb is not None:
+            maskb = jax.lax.ppermute(maskb, axis_name, perm)
+        return (acc, m, l, kb, vb, maskb), None
+
+    carry = (acc0, m0, l0, k, v, kv_mask)
+    (acc, m, l, _, _, _), _ = jax.lax.scan(
+        step_fn, carry, jnp.arange(n)
+    )
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out = acc / l_safe[..., None]  # (B, hkv, group, Sq, D)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S_loc, H, D).astype(q.dtype)
+
+
+def make_ring_attention(mesh: Mesh, axis_name: str, *, causal: bool = False):
+    """shard_map-wrapped ring attention over `axis_name` of `mesh`.
+
+    Returns fn(q, k, v, kv_mask=None) on GLOBAL (B, S, H, D) arrays with S
+    sharded over axis_name.
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    def body(q, k, v, kv_mask):
+        return ring_attention(
+            q, k, v, axis_name=axis_name, causal=causal, kv_mask=kv_mask,
+        )
+
+    seq = P(None, axis_name, None, None)
+    mseq = P(None, axis_name)
+
+    wrapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(seq, seq, seq, mseq),
+        out_specs=seq,
+        check_rep=False,
+    )
+
+    def fn(q, k, v, kv_mask=None):
+        if kv_mask is None:
+            kv_mask = jnp.ones(q.shape[:2], bool)
+        return wrapped(q, k, v, kv_mask)
+
+    return fn
