@@ -79,6 +79,15 @@ def ring_attention(
     m0 = jnp.full((B, hkv, group, S_loc), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((B, hkv, group, S_loc), jnp.float32)
     acc0 = jnp.zeros((B, hkv, group, S_loc, D), jnp.float32)
+    # mark the constant initial carries as device-varying over the ring axis
+    # (required by the shard_map varying-manual-axes type system)
+    try:
+        acc0, m0, l0 = (
+            jax.lax.pcast(x, (axis_name,), to="varying")
+            for x in (acc0, m0, l0)
+        )
+    except AttributeError:
+        pass  # older jax: no VMA typing
     q_start = my * S_loc
 
     perm = [(i, (i + 1) % n) for i in range(n)]
@@ -130,7 +139,6 @@ def make_ring_attention(mesh: Mesh, axis_name: str, *, causal: bool = False):
         body, mesh=mesh,
         in_specs=(seq, seq, seq, mseq),
         out_specs=seq,
-        check_rep=False,
     )
 
     def fn(q, k, v, kv_mask=None):
