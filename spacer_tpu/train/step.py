@@ -105,25 +105,45 @@ def make_grpo_train_step(
     @functools.partial(
         jax.jit,
         static_argnames=("grid_thw", "num_generations", "prompt_len"),
-        donate_argnames=("params", "opt_state"),
     )
-    def step(params, ref_params, opt_state, batch, grid_thw=None,
-             num_generations: int = 1, prompt_len: int | None = None):
+    def ref_logps_fn(ref_params, batch, grid_thw=None,
+                     num_generations: int = 1,
+                     prompt_len: int | None = None):
+        """Reference logps as a standalone jit: the trainer dispatches this
+        asynchronously right after rollout so it overlaps with host-side
+        reward computation."""
         prompt_len = prompt_len if prompt_len is not None else bound_prompt_len
         ref_vision_embeds = None
         if grid_thw is not None and encode_vision_in_step:
             rve = encode_vision(ref_params, cfg, batch["pixel_values"],
                                 grid_thw, remat=remat, attn_impl=attn_impl)
             ref_vision_embeds = jnp.tile(rve, (num_generations, 1))
-        ref_logps = _completion_logps(
+        return _completion_logps(
             ref_params, cfg, batch["input_ids"], batch["position_ids"],
             batch["kv_mask"], prompt_len, vision_embeds=ref_vision_embeds,
             remat=remat, attn_impl=attn_impl, logp_chunk=logp_chunk,
         )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("grid_thw", "num_generations", "prompt_len"),
+        donate_argnames=("params", "opt_state"),
+    )
+    def step(params, ref_params, opt_state, batch, grid_thw=None,
+             num_generations: int = 1, prompt_len: int | None = None):
+        prompt_len = prompt_len if prompt_len is not None else bound_prompt_len
+        if "ref_logps" in batch:
+            ref_logps = batch["ref_logps"]
+        else:
+            ref_logps = ref_logps_fn(
+                ref_params, batch, grid_thw, num_generations, prompt_len
+            )
         ref_logps = jax.lax.stop_gradient(ref_logps)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, ref_logps, batch, grid_thw, num_generations, prompt_len
+            params, ref_logps,
+            {k: v for k, v in batch.items() if k != "ref_logps"},
+            grid_thw, num_generations, prompt_len
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(
@@ -133,7 +153,11 @@ def make_grpo_train_step(
         metrics = dict(metrics, loss=loss, grad_norm=gnorm)
         return params, opt_state, metrics
 
-    return step
+    def step_callable(*args, **kwargs):
+        return step(*args, **kwargs)
+
+    step_callable.ref_logps_fn = ref_logps_fn
+    return step_callable
 
 
 def optax_global_norm(tree):

@@ -238,6 +238,45 @@ class SGRLVRTrainer:
         )
         t_rollout = time.perf_counter()
 
+        # --- build the (advantage-free) train batch now so the reference
+        # forward can run asynchronously UNDER the host-side reward loop
+        P_len = enc["input_ids"].shape[1]
+        Pb = self.sampler._bucket(P_len)
+        pad = Pb - P_len
+        prompt_ids_p = np.pad(
+            enc["input_ids"], ((0, 0), (pad, 0)),
+            constant_values=self.processor.pad_token_id,
+        )
+        prompt_mask_p = np.pad(enc["attention_mask"], ((0, 0), (pad, 0)))
+        pos_p = np.pad(pos, ((0, 0), (0, 0), (pad, 0)), constant_values=1)
+        C = args.max_completion_length
+        full_ids = np.concatenate(
+            [np.repeat(prompt_ids_p, G, axis=0), sample_out.sequences], axis=1
+        ).astype(np.int32)
+        comp_mask = sample_out.completion_mask
+        kv_mask = np.concatenate(
+            [np.repeat(prompt_mask_p, G, axis=0), comp_mask], axis=1
+        ).astype(bool)
+        comp_pos = (deltas.reshape(-1, 1) - pad) + Pb + np.arange(C)[None, :]
+        comp_pos = np.repeat(comp_pos, G, axis=0)
+        pos_full = np.concatenate(
+            [np.repeat(pos_p, G, axis=1),
+             np.broadcast_to(comp_pos[None], (3, G, C))],
+            axis=2,
+        ).astype(np.int32)
+        batch = {
+            "input_ids": full_ids,
+            "kv_mask": kv_mask,
+            "position_ids": pos_full,
+            "completion_mask": comp_mask.astype(np.int32),
+        }
+        if pixel_values is not None:
+            batch["pixel_values"] = np.asarray(pixel_values, np.float32)
+        # async dispatch: overlaps with the reward python below
+        ref_logps = self.step_fn.ref_logps_fn(
+            self.ref_params, batch, grid_thw, G, Pb
+        )
+
         # temporal-shuffle rollout (G/2 generations)
         shuffled_rewards = None
         if args.temporal and has_video:
@@ -276,48 +315,8 @@ class SGRLVRTrainer:
         advantages = np.asarray(group_advantages(jnp.asarray(rewards), G))
         t_reward = time.perf_counter()
 
-        # --- build the train batch
-        P_len = enc["input_ids"].shape[1]
-        # sampler may have bucketed the prompt; re-pad ids/mask identically
-        Pb = self.sampler._bucket(P_len)
-        pad = Pb - P_len
-        prompt_ids = np.pad(
-            enc["input_ids"], ((0, 0), (pad, 0)),
-            constant_values=self.processor.pad_token_id,
-        )
-        prompt_mask = np.pad(enc["attention_mask"], ((0, 0), (pad, 0)))
-        pos_p = np.pad(pos, ((0, 0), (0, 0), (pad, 0)), constant_values=1)
-        C = args.max_completion_length
-
-        full_ids = np.concatenate(
-            [np.repeat(prompt_ids, G, axis=0), sample_out.sequences], axis=1
-        ).astype(np.int32)
-        comp_mask = sample_out.completion_mask
-        kv_mask = np.concatenate(
-            [np.repeat(prompt_mask, G, axis=0), comp_mask], axis=1
-        ).astype(bool)
-        comp_pos = (
-            (deltas.reshape(-1, 1) - pad) + Pb + np.arange(C)[None, :]
-        )
-        comp_pos = np.repeat(comp_pos, G, axis=0)
-        pos_full = np.concatenate(
-            [
-                np.repeat(pos_p, G, axis=1),
-                np.broadcast_to(comp_pos[None], (3, G, C)),
-            ],
-            axis=2,
-        ).astype(np.int32)
-
-        batch = {
-            "input_ids": full_ids,
-            "kv_mask": kv_mask,
-            "position_ids": pos_full,
-            "completion_mask": comp_mask.astype(np.int32),
-            "advantages": advantages.astype(np.float32),
-        }
-        if pixel_values is not None:
-            batch["pixel_values"] = np.asarray(pixel_values, np.float32)
-
+        batch["advantages"] = advantages.astype(np.float32)
+        batch["ref_logps"] = ref_logps  # dispatched earlier, likely done
         self.params, self.opt_state, metrics = self.step_fn(
             self.params, self.ref_params, self.opt_state, batch,
             grid_thw=grid_thw, num_generations=G, prompt_len=Pb,
