@@ -6,6 +6,7 @@ from spacer_tpu.models.qwen25_vl.config import (
     TextConfig,
     QWEN25_VL_7B,
     QWEN25_VL_3B,
+    QWEN2_VL_7B,
     tiny_config,
 )
 from spacer_tpu.models.qwen25_vl.model import (
@@ -22,7 +23,7 @@ from spacer_tpu.models.qwen25_vl.loading import (
 
 __all__ = [
     "Qwen25VLConfig", "VisionConfig", "TextConfig",
-    "QWEN25_VL_7B", "QWEN25_VL_3B", "tiny_config",
+    "QWEN25_VL_7B", "QWEN25_VL_3B", "QWEN2_VL_7B", "tiny_config",
     "init_params", "forward", "encode_vision", "lm_forward",
     "get_rope_index", "load_params_from_hf", "params_from_torch_state_dict",
 ]

@@ -20,6 +20,9 @@ class VisionConfig:
     out_hidden_size: int = 3584
     tokens_per_second: int = 2
     rope_theta: float = 10000.0
+    # "qwen2_5": RMSNorm + SwiGLU + windowed attention (Qwen2.5-VL)
+    # "qwen2":   LayerNorm + fc1/quick_gelu/fc2 + full attention (Qwen2-VL)
+    arch: str = "qwen2_5"
 
     @property
     def head_dim(self) -> int:
@@ -90,20 +93,42 @@ class Qwen25VLConfig:
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             max_position_embeddings=t.get("max_position_embeddings", 128000),
         )
-        vision = VisionConfig(
-            depth=v.get("depth", 32),
-            hidden_size=v.get("hidden_size", 1280),
-            intermediate_size=v.get("intermediate_size", 3420),
-            num_heads=v.get("num_heads", 16),
-            in_channels=v.get("in_channels", 3),
-            patch_size=v.get("patch_size", 14),
-            temporal_patch_size=v.get("temporal_patch_size", 2),
-            spatial_merge_size=v.get("spatial_merge_size", 2),
-            window_size=v.get("window_size", 112),
-            fullatt_block_indexes=tuple(v.get("fullatt_block_indexes", (7, 15, 23, 31))),
-            out_hidden_size=v.get("out_hidden_size", 3584),
-            tokens_per_second=v.get("tokens_per_second", 2),
-        )
+        if "embed_dim" in v or v.get("model_type") == "qwen2_vl":
+            # Qwen2-VL vision config layout (configuration_qwen2_vl.py)
+            depth = v.get("depth", 32)
+            vision = VisionConfig(
+                arch="qwen2",
+                depth=depth,
+                hidden_size=v.get("embed_dim", 1280),
+                intermediate_size=int(
+                    v.get("embed_dim", 1280) * v.get("mlp_ratio", 4)
+                ),
+                num_heads=v.get("num_heads", 16),
+                in_channels=v.get("in_channels", 3),
+                patch_size=v.get("patch_size", 14),
+                temporal_patch_size=v.get("temporal_patch_size", 2),
+                spatial_merge_size=v.get("spatial_merge_size", 2),
+                fullatt_block_indexes=tuple(range(depth)),
+                out_hidden_size=v.get("hidden_size", 3584),
+                tokens_per_second=1,
+            )
+        else:
+            vision = VisionConfig(
+                depth=v.get("depth", 32),
+                hidden_size=v.get("hidden_size", 1280),
+                intermediate_size=v.get("intermediate_size", 3420),
+                num_heads=v.get("num_heads", 16),
+                in_channels=v.get("in_channels", 3),
+                patch_size=v.get("patch_size", 14),
+                temporal_patch_size=v.get("temporal_patch_size", 2),
+                spatial_merge_size=v.get("spatial_merge_size", 2),
+                window_size=v.get("window_size", 112),
+                fullatt_block_indexes=tuple(
+                    v.get("fullatt_block_indexes", (7, 15, 23, 31))
+                ),
+                out_hidden_size=v.get("out_hidden_size", 3584),
+                tokens_per_second=v.get("tokens_per_second", 2),
+            )
         return cls(
             text=text,
             vision=vision,
@@ -115,6 +140,21 @@ class Qwen25VLConfig:
 
 
 QWEN25_VL_7B = Qwen25VLConfig()
+
+# Qwen2-VL-7B-Instruct: same LM geometry, full-attention quick-gelu ViT,
+# tokens_per_second 1 (configuration_qwen2_vl.py defaults)
+QWEN2_VL_7B = Qwen25VLConfig(
+    vision=VisionConfig(
+        arch="qwen2",
+        depth=32,
+        hidden_size=1280,
+        intermediate_size=1280 * 4,   # mlp_ratio 4
+        num_heads=16,
+        fullatt_block_indexes=tuple(range(32)),
+        out_hidden_size=3584,
+        tokens_per_second=1,
+    ),
+)
 
 QWEN25_VL_3B = Qwen25VLConfig(
     text=TextConfig(
@@ -130,8 +170,29 @@ QWEN25_VL_3B = Qwen25VLConfig(
 )
 
 
-def tiny_config(vocab_size: int = 1024) -> Qwen25VLConfig:
+def tiny_config(vocab_size: int = 1024, arch: str = "qwen2_5") -> Qwen25VLConfig:
     """A parity-test-sized config (same structure, tiny dims)."""
+    if arch == "qwen2":
+        vision = VisionConfig(
+            arch="qwen2",
+            depth=4,
+            hidden_size=32,
+            intermediate_size=128,  # mlp_ratio 4
+            num_heads=2,
+            fullatt_block_indexes=(0, 1, 2, 3),
+            out_hidden_size=64,
+            tokens_per_second=1,
+        )
+    else:
+        vision = VisionConfig(
+            depth=4,
+            hidden_size=32,
+            intermediate_size=64,
+            num_heads=2,
+            fullatt_block_indexes=(1, 3),
+            out_hidden_size=64,
+            window_size=112,
+        )
     return Qwen25VLConfig(
         text=TextConfig(
             vocab_size=vocab_size,
@@ -142,15 +203,7 @@ def tiny_config(vocab_size: int = 1024) -> Qwen25VLConfig:
             num_kv_heads=2,
             mrope_section=(4, 2, 2),  # sums to head_dim/2 = 8
         ),
-        vision=VisionConfig(
-            depth=4,
-            hidden_size=32,
-            intermediate_size=64,
-            num_heads=2,
-            fullatt_block_indexes=(1, 3),
-            out_hidden_size=64,
-            window_size=112,
-        ),
+        vision=vision,
         image_token_id=6,
         video_token_id=7,
         vision_start_token_id=4,

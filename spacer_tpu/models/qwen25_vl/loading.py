@@ -96,26 +96,57 @@ def params_from_torch_state_dict(
             "kernel": jnp.asarray(arr("lm_head.weight").T, dtype)
         }
 
+    def stack_norm_bias(fmt: str, n: int):
+        return {
+            "scale": jnp.asarray(
+                np.stack([arr(fmt.format(i) + ".weight") for i in range(n)]),
+                dtype,
+            ),
+            "bias": jnp.asarray(
+                np.stack([arr(fmt.format(i) + ".bias") for i in range(n)]),
+                dtype,
+            ),
+        }
+
     VD = v.depth
     patch_w = arr("visual.patch_embed.proj.weight")  # (D, C, tps, p, p)
     patch_kernel = patch_w.reshape(v.hidden_size, -1).T  # (patch_dim, D)
+    if v.arch == "qwen2":
+        norms = {
+            "norm1": stack_norm_bias("visual.blocks.{}.norm1", VD),
+            "norm2": stack_norm_bias("visual.blocks.{}.norm2", VD),
+        }
+        mlp = {
+            "fc1": stack_lin("visual.blocks.{}.mlp.fc1", VD, True),
+            "fc2": stack_lin("visual.blocks.{}.mlp.fc2", VD, True),
+        }
+        ln_q = {
+            "scale": jnp.asarray(arr("visual.merger.ln_q.weight"), dtype),
+            "bias": jnp.asarray(arr("visual.merger.ln_q.bias"), dtype),
+        }
+    else:
+        norms = {
+            "norm1": stack_norm("visual.blocks.{}.norm1", VD),
+            "norm2": stack_norm("visual.blocks.{}.norm2", VD),
+        }
+        mlp = {
+            "gate_proj": stack_lin("visual.blocks.{}.mlp.gate_proj", VD, True),
+            "up_proj": stack_lin("visual.blocks.{}.mlp.up_proj", VD, True),
+            "down_proj": stack_lin("visual.blocks.{}.mlp.down_proj", VD, True),
+        }
+        ln_q = {"scale": jnp.asarray(arr("visual.merger.ln_q.weight"), dtype)}
     params["visual"] = {
         "patch_embed": {"proj": {"kernel": jnp.asarray(patch_kernel, dtype)}},
         "blocks": {
-            "norm1": stack_norm("visual.blocks.{}.norm1", VD),
-            "norm2": stack_norm("visual.blocks.{}.norm2", VD),
+            **norms,
             "attn": {
                 "qkv": stack_lin("visual.blocks.{}.attn.qkv", VD, True),
                 "proj": stack_lin("visual.blocks.{}.attn.proj", VD, True),
             },
-            "mlp": {
-                "gate_proj": stack_lin("visual.blocks.{}.mlp.gate_proj", VD, True),
-                "up_proj": stack_lin("visual.blocks.{}.mlp.up_proj", VD, True),
-                "down_proj": stack_lin("visual.blocks.{}.mlp.down_proj", VD, True),
-            },
+            "mlp": mlp,
         },
         "merger": {
-            "ln_q": {"scale": jnp.asarray(arr("visual.merger.ln_q.weight"), dtype)},
+            "ln_q": ln_q,
             "mlp_0": lin("visual.merger.mlp.0", True),
             "mlp_2": lin("visual.merger.mlp.2", True),
         },

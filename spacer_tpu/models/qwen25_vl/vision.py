@@ -24,7 +24,15 @@ import numpy as np
 
 from spacer_tpu.models.qwen25_vl.config import VisionConfig
 from spacer_tpu.nn.attention import dot_product_attention
-from spacer_tpu.nn.core import dense, dense_init, rms_norm, rms_norm_init
+from spacer_tpu.nn.core import (
+    dense,
+    dense_init,
+    layer_norm,
+    layer_norm_init,
+    quick_gelu,
+    rms_norm,
+    rms_norm_init,
+)
 from spacer_tpu.nn.rope import apply_vision_rope, vision_rope_cos_sin
 
 Params = Any
@@ -36,6 +44,7 @@ class VisionLayout(NamedTuple):
     window_index: np.ndarray      # (S/mu,) merge-unit permutation to window order
     reverse_index: np.ndarray     # (S_merged,) inverse permutation (merged tokens)
     pos_hw: np.ndarray            # (S, 2) patch (h, w) positions, window order
+    pos_hw_native: np.ndarray     # (S, 2) positions in the native token order
     window_segments: np.ndarray   # (S,) segment id per token, window order
     full_segments: np.ndarray     # (S,) frame-chunk segment id, window order
     seq_len: int
@@ -145,6 +154,7 @@ def _vision_layout_cached(grid_thw: tuple, spatial_merge_size: int,
         window_index=window_index,
         reverse_index=reverse_index,
         pos_hw=pos_hw,
+        pos_hw_native=pos,
         window_segments=window_segments,
         full_segments=full_segments,
         seq_len=S,
@@ -172,44 +182,71 @@ def init_vit_params(key, cfg: VisionConfig, dtype=jnp.float32) -> Params:
         ks = jax.random.split(key, L)
         return jax.tree.map(lambda *xs: jnp.stack(xs), *[fn(k, *args, **kw) for k in ks])
 
+    if cfg.arch == "qwen2":
+        norm1 = {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)}
+        norm2 = {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)}
+        mlp = {
+            "fc1": stack_init(dense_init, keys[3], D, I, True, dtype),
+            "fc2": stack_init(dense_init, keys[5], I, D, True, dtype),
+        }
+        ln_q = layer_norm_init(D, dtype)
+    else:
+        norm1 = {"scale": jnp.ones((L, D), dtype)}
+        norm2 = {"scale": jnp.ones((L, D), dtype)}
+        mlp = {
+            "gate_proj": stack_init(dense_init, keys[3], D, I, True, dtype),
+            "up_proj": stack_init(dense_init, keys[4], D, I, True, dtype),
+            "down_proj": stack_init(dense_init, keys[5], I, D, True, dtype),
+        }
+        ln_q = rms_norm_init(D, dtype)
+
     return {
         "patch_embed": {"proj": dense_init(keys[0], cfg.patch_dim, D, False, dtype)},
         "blocks": {
-            "norm1": {"scale": jnp.ones((L, D), dtype)},
-            "norm2": {"scale": jnp.ones((L, D), dtype)},
+            "norm1": norm1,
+            "norm2": norm2,
             "attn": {
                 "qkv": stack_init(dense_init, keys[1], D, 3 * D, True, dtype),
                 "proj": stack_init(dense_init, keys[2], D, D, True, dtype),
             },
-            "mlp": {
-                "gate_proj": stack_init(dense_init, keys[3], D, I, True, dtype),
-                "up_proj": stack_init(dense_init, keys[4], D, I, True, dtype),
-                "down_proj": stack_init(dense_init, keys[5], I, D, True, dtype),
-            },
+            "mlp": mlp,
         },
         "merger": {
-            "ln_q": rms_norm_init(D, dtype),
+            "ln_q": ln_q,
             "mlp_0": dense_init(keys[6], merged, merged, True, dtype),
             "mlp_2": dense_init(keys[7], merged, cfg.out_hidden_size, True, dtype),
         },
     }
 
 
+def _vit_norm(cfg: VisionConfig, params, x):
+    if cfg.arch == "qwen2":
+        return layer_norm(params, x, 1e-6)
+    return rms_norm(params, x, 1e-6)
+
+
+def _vit_mlp(cfg: VisionConfig, mlp, x):
+    if cfg.arch == "qwen2":
+        return dense(mlp["fc2"], quick_gelu(dense(mlp["fc1"], x)))
+    return dense(
+        mlp["down_proj"],
+        jax.nn.silu(dense(mlp["gate_proj"], x)) * dense(mlp["up_proj"], x),
+    )
+
+
 def _vit_block(h, block_params, *, cfg: VisionConfig, cos, sin, attn_apply):
     """h: (S, D). attn_apply(q, k, v) -> (S, H, Dh)."""
     S, D = h.shape
     H, Dh = cfg.num_heads, cfg.head_dim
-    x = rms_norm(block_params["norm1"], h, 1e-6)
+    x = _vit_norm(cfg, block_params["norm1"], h)
     qkv = dense(block_params["attn"]["qkv"], x).reshape(S, 3, H, Dh)
     q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
     q, k = apply_vision_rope(q, k, cos, sin)
     attn = attn_apply(q, k, v)
     h = h + dense(block_params["attn"]["proj"], attn.reshape(S, H * Dh))
 
-    x = rms_norm(block_params["norm2"], h, 1e-6)
-    mlp = block_params["mlp"]
-    out = dense(mlp["down_proj"], jax.nn.silu(dense(mlp["gate_proj"], x)) * dense(mlp["up_proj"], x))
-    return h + out
+    x = _vit_norm(cfg, block_params["norm2"], h)
+    return h + _vit_mlp(cfg, block_params["mlp"], x)
 
 
 def vit_forward(
@@ -228,11 +265,55 @@ def vit_forward(
     mu = cfg.spatial_merge_unit
     h = dense(params["patch_embed"]["proj"], pixel_values)  # (S, D)
     S = h.shape[0]
+    H, Dh = cfg.num_heads, cfg.head_dim
+
+    full_set = set(cfg.fullatt_block_indexes)
+    all_full = len(full_set) == cfg.depth
+
+    if all_full:
+        # Qwen2-VL-style ViT: every layer attends over full frame chunks —
+        # stay in the native token order, no window conversion at all.
+        cos, sin = vision_rope_cos_sin(
+            jnp.asarray(layout.pos_hw_native), cfg.head_dim, cfg.rope_theta,
+        )
+        full_chunk = layout.full_chunk
+        # frame-chunk ids occupy identical index ranges in native and window
+        # order (the window permutation never crosses a temporal chunk)
+        full_segs_native = jnp.asarray(layout.full_segments)
+
+        def full_attn_native(q, k, v):
+            if full_chunk > 0:
+                nc = S // full_chunk
+                return dot_product_attention(
+                    q.reshape(nc, full_chunk, H, Dh),
+                    k.reshape(nc, full_chunk, H, Dh),
+                    v.reshape(nc, full_chunk, H, Dh),
+                    causal=False, impl=attn_impl or "xla",
+                ).reshape(S, H, Dh)
+            return dot_product_attention(
+                q[None], k[None], v[None], causal=False,
+                q_segment_ids=full_segs_native[None],
+                kv_segment_ids=full_segs_native[None],
+                impl=attn_impl or "xla",
+            )[0]
+
+        block = lambda hh, bp: _vit_block(
+            hh, bp, cfg=cfg, cos=cos, sin=sin,
+            attn_apply=full_attn_native,
+        )
+        if remat:
+            block = jax.checkpoint(block)
+        h, _ = jax.lax.scan(
+            lambda hh, bp: (block(hh, bp), None), h, params["blocks"]
+        )
+        m = params["merger"]
+        x = _vit_norm(cfg, m["ln_q"], h).reshape(S // mu, mu * cfg.hidden_size)
+        x = dense(m["mlp_0"], x)
+        x = jax.nn.gelu(x, approximate=False)
+        return dense(m["mlp_2"], x)
 
     window_index = jnp.asarray(layout.window_index)
     h = h.reshape(S // mu, mu, -1)[window_index].reshape(S, -1)
-
-    H, Dh = cfg.num_heads, cfg.head_dim
 
     # --- padded-window layout: convert ONCE, run every layer at S_pad ------
     # Each token sits in exactly one window; padding windows to a uniform
@@ -324,9 +405,9 @@ def vit_forward(
             )
     h = h[to_compact]  # back to the compact window-order layout
 
-    # merger: rmsnorm -> group 4 -> linear/gelu/linear
+    # merger: norm -> group 4 -> linear/gelu/linear
     m = params["merger"]
-    x = rms_norm(m["ln_q"], h, 1e-6).reshape(S // mu, mu * cfg.hidden_size)
+    x = _vit_norm(cfg, m["ln_q"], h).reshape(S // mu, mu * cfg.hidden_size)
     x = dense(m["mlp_0"], x)
     x = jax.nn.gelu(x, approximate=False)
     x = dense(m["mlp_2"], x)

@@ -44,6 +44,24 @@ def rms_norm_init(dim: int, dtype=jnp.float32):
     return {"scale": jnp.ones((dim,), dtype)}
 
 
+def layer_norm_init(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params, x, eps: float = 1e-6):
+    """LayerNorm with float32 statistics (torch nn.LayerNorm numerics)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (params["scale"] * x.astype(dtype) + params["bias"]).astype(dtype)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
 def rms_norm(params, x, eps: float = 1e-6):
     """RMSNorm with float32 statistics (matches Qwen2RMSNorm numerics)."""
     dtype = x.dtype
