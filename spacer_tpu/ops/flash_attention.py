@@ -467,6 +467,10 @@ def flash_attention(
         interpret = jax.devices()[0].platform != "tpu"
     if Sq < 8 or Skv < 128:
         raise NotImplementedError("sequence too small for the flash kernel")
+    if not interpret and D % 128 != 0:
+        # Mosaic block layouts need a 128-aligned lane dim; tiny head dims
+        # (tests) and the ViT's 80 route to the XLA path instead
+        raise NotImplementedError(f"head_dim {D} not 128-aligned")
     if Hq % Hkv != 0:
         raise NotImplementedError("Hq must be a multiple of Hkv")
     if not isinstance(q_offset, int):

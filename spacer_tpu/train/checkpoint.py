@@ -12,9 +12,9 @@ def save_train_state(path: str, params, opt_state, metadata: dict):
 
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "params"), params)
+        ckptr.save(os.path.join(path, "params"), params, force=True)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "opt_state"), opt_state)
+        ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(metadata, f)
     return path
@@ -41,7 +41,7 @@ def save_model_only(path: str, params):
 
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "params"), params)
+        ckptr.save(os.path.join(path, "params"), params, force=True)
     return path
 
 
