@@ -38,6 +38,11 @@ QWEN_PARTITION_RULES: list[tuple[str, P]] = [
     (r"visual/blocks/mlp/(gate|up)_proj/bias", P(None, "tp")),
     (r"visual/blocks/mlp/down_proj/kernel", P(None, "tp", "fsdp")),
     (r"visual/blocks/mlp/down_proj/bias", P(None, None)),
+    # Qwen2-VL ViT MLP (fc1/quick_gelu/fc2)
+    (r"visual/blocks/mlp/fc1/kernel", P(None, "fsdp", "tp")),
+    (r"visual/blocks/mlp/fc1/bias", P(None, "tp")),
+    (r"visual/blocks/mlp/fc2/kernel", P(None, "tp", "fsdp")),
+    (r"visual/blocks/mlp/fc2/bias", P(None, None)),
     (r"visual/blocks/norm[12]/scale", P(None, None)),
     (r"visual/patch_embed/proj/kernel", P("fsdp", "tp")),
     (r"visual/merger/mlp_0/kernel", P("fsdp", "tp")),
