@@ -10,7 +10,6 @@ the zero-safe relative error (:225-230).
 from __future__ import annotations
 
 import base64
-import math
 import re
 from collections import defaultdict
 

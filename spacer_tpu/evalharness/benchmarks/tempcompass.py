@@ -6,7 +6,6 @@ multi-format MC matcher eval_mc (:233-244).
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 
 import numpy as np
 

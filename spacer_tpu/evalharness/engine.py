@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Protocol, Sequence
 
-import numpy as np
 
 
 class InferenceEngine(Protocol):

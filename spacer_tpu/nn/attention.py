@@ -9,7 +9,6 @@ windowed/varlen layout and for packed sequences).
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
