@@ -36,24 +36,44 @@ def xla_attention(
         scale = d ** -0.5
     group = hq // hkv
 
+    def build_mask(extra_dims):
+        mask = None
+        if causal:
+            qpos = jnp.arange(sq)[:, None] + q_offset
+            kpos = jnp.arange(skv)[None, :]
+            mask = jnp.broadcast_to(
+                (kpos <= qpos).reshape((1,) * (1 + extra_dims) + (sq, skv)),
+                (b,) + (1,) * extra_dims + (sq, skv),
+            )
+        if kv_mask is not None:
+            m2 = kv_mask.reshape((b,) + (1,) * extra_dims + (1, skv))
+            mask = m2 if mask is None else (mask & m2)
+        if q_segment_ids is not None and kv_segment_ids is not None:
+            seg = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :])
+            seg = seg.reshape((b,) + (1,) * extra_dims + (sq, skv))
+            mask = seg if mask is None else (mask & seg)
+        return mask
+
+    if group == 1:
+        # equal heads (the ViT case): plain 4D einsums
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+        ) * scale
+        mask = build_mask(1)
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+        return out.astype(q.dtype)
+
     # grouped-query attention without materializing repeated kv (a 4x cache
     # bandwidth saving on the decode path)
     qg = q.reshape(b, sq, hkv, group, d).astype(jnp.float32)
     logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k.astype(jnp.float32))
     logits = logits * scale
-
-    mask = jnp.ones((b, 1, 1, sq, skv), dtype=bool)
-    if causal:
-        qpos = jnp.arange(sq)[:, None] + q_offset
-        kpos = jnp.arange(skv)[None, :]
-        mask = mask & (kpos <= qpos)[None, None, None, :, :]
-    if kv_mask is not None:
-        mask = mask & kv_mask[:, None, None, None, :]
-    if q_segment_ids is not None and kv_segment_ids is not None:
-        seg = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
-        mask = mask & seg[:, None, None, :, :]
-
-    logits = jnp.where(mask, logits, NEG_INF)
+    mask = build_mask(2)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v.astype(jnp.float32))
     return out.reshape(b, sq, hq, d).astype(q.dtype)
@@ -68,12 +88,23 @@ def _on_tpu() -> bool:
 
 def dot_product_attention(
     q, k, v, *, causal=False, q_segment_ids=None, kv_segment_ids=None,
-    kv_mask=None, scale=None, q_offset=0, impl: str | None = None,
+    kv_mask=None, scale=None, q_offset=0, impl=None,
 ):
     """Dispatch to the fastest available implementation.
 
-    impl: "xla" | "pallas" | None (auto). Env SPACER_ATTN_IMPL overrides.
+    impl: "xla" | "pallas" | None (auto) | ("ring", mesh, axis_name) for
+    sequence-parallel ring attention over a mesh axis (self-attention only,
+    no cache).  Env SPACER_ATTN_IMPL overrides the string forms.
     """
+    if isinstance(impl, tuple) and impl and impl[0] == "ring":
+        _, mesh, axis_name = impl
+        if (q_segment_ids is None and q.shape[1] == k.shape[1]
+                and q_offset == 0):
+            from spacer_tpu.ops.ring_attention import make_ring_attention
+
+            ring = make_ring_attention(mesh, axis_name, causal=causal)
+            return ring(q, k, v, kv_mask)
+        impl = "xla"  # cache/segment shapes: ring does not apply
     impl = impl or os.environ.get("SPACER_ATTN_IMPL") or "auto"
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"

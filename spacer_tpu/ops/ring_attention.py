@@ -115,8 +115,14 @@ def ring_attention(
     return out.transpose(0, 3, 1, 2, 4).reshape(B, S_loc, H, D).astype(q.dtype)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def make_ring_attention(mesh: Mesh, axis_name: str, *, causal: bool = False):
-    """shard_map-wrapped ring attention over `axis_name` of `mesh`.
+    """shard_map-wrapped ring attention over `axis_name` of `mesh`
+    (lru-cached per (mesh, axis, causal) so per-layer callers share one
+    traced wrapper).
 
     Returns fn(q, k, v, kv_mask=None) on GLOBAL (B, S, H, D) arrays with S
     sharded over axis_name.
