@@ -59,6 +59,7 @@ class SGRLVRConfig:
     gradient_accumulation_steps: int = 1
     logging_steps: int = 1
     save_steps: int = 1000
+    save_only_model: bool = False  # run_SpaceR_SG_RLVR.sh:38
     skip_failed_steps: bool = True
     output_dir: str = "output"
     seed: int = 42
@@ -371,9 +372,13 @@ class SGRLVRTrainer:
         args = self.args
         if resume_from_checkpoint:
             self.load_checkpoint(resume_from_checkpoint)
-        rng = np.random.default_rng(args.seed + self.global_step)
-        order = rng.permutation(len(self.dataset))
-        total = args.max_steps or len(order) * args.num_train_epochs
+        # epoch order is a pure function of the seed, so resume recovers the
+        # dataloader position from global_step alone
+        rng = np.random.default_rng(args.seed)
+        total = args.max_steps or (
+            len(self.dataset) * args.num_train_epochs
+        )
+        start_epoch = self.global_step // len(self.dataset)
         from concurrent.futures import ThreadPoolExecutor
 
         # Host-side prefetch: decode+preprocess the NEXT row's video while
@@ -381,15 +386,27 @@ class SGRLVRTrainer:
         # step — SURVEY.md §3.1 hot loop (c)).
         prefetch = ThreadPoolExecutor(max_workers=1)
 
-        def submit(i):
-            if i >= len(order):
-                return None
-            r = self.dataset[int(order[i])]
-            return prefetch.submit(self._prepare_inputs, r)
-
         for epoch in range(args.num_train_epochs):
-            pending = submit(0)
+            order = np.random.default_rng(args.seed + epoch).permutation(
+                len(self.dataset)
+            )
+            if epoch < start_epoch:
+                continue
+            skip = (
+                self.global_step % len(self.dataset)
+                if epoch == start_epoch else 0
+            )
+
+            def submit(i):
+                if i >= len(order):
+                    return None
+                r = self.dataset[int(order[i])]
+                return prefetch.submit(self._prepare_inputs, r)
+
+            pending = submit(skip)
             for i, idx in enumerate(order):
+                if i < skip:
+                    continue
                 if self.global_step >= total:
                     prefetch.shutdown(wait=False)
                     return
@@ -427,11 +444,16 @@ class SGRLVRTrainer:
     # -- checkpointing ----------------------------------------------------
 
     def save_checkpoint(self, path: str | None = None):
-        from spacer_tpu.train.checkpoint import save_train_state
+        from spacer_tpu.train.checkpoint import (
+            save_model_only,
+            save_train_state,
+        )
 
         path = path or os.path.join(
             self.args.output_dir, f"checkpoint-{self.global_step}"
         )
+        if self.args.save_only_model:
+            return save_model_only(path, self.params)
         save_train_state(
             path, self.params, self.opt_state,
             {"global_step": self.global_step},
