@@ -1,18 +1,19 @@
-"""Benchmarks. Default: video preprocess + ViT encode throughput
-(frames/sec/chip).  `python bench.py grpo` instead measures the full
-SG-RLVR train-step throughput (samples/sec/chip) on a 1B-scale model.
+"""Benchmarks. Default: the headline metric — full SG-RLVR/GRPO train-step
+throughput (samples/sec/chip) at reference rollout shapes — plus the video
+preprocess+ViT-encode throughput as a secondary field.
 
-Measures the production hot path for both training rollouts and eval: uint8
-decoded frames -> fused resize/normalize/patchify (jit) -> full-scale
-Qwen2.5-VL vision tower (670M params, bf16, windowed attention) -> merged
-LM-space embeddings.  Shapes follow the SpaceR training schedule: 16 frames
-at the 105369 px/frame budget (vision_process.py:288-295), i.e. 224x420 ->
-grid (8, 16, 30) = 3840 patch tokens per clip.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no machine throughput numbers (BASELINE.md), so
-vs_baseline is reported against a nominal 160 frames/sec/GPU figure for the
-reference stack's preprocess+encode path on its 8xGPU node (estimate).
+Modes: `python bench.py` (both, headline = grpo), `python bench.py grpo`,
+`python bench.py encode`.
+
+vs_baseline derivation (the reference publishes no throughput numbers —
+BASELINE.md "Throughput/latency"): we model the reference stack (HF Trainer +
+HF generate + DeepSpeed ZeRO-3 on H100 SXM) running the SAME shapes, from
+first principles, in `_reference_stack_sps()` below. Every term cites the
+reference code path that incurs it, and the assumed H100 MFU/bandwidth
+efficiency are stated constants — the arithmetic is reproducible from this
+file alone and is printed as a `# derivation:` line.
 """
 
 import json
@@ -20,8 +21,75 @@ import time
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# Reference-stack throughput model (the baseline denominator).
+# ---------------------------------------------------------------------------
 
-def main():
+H100_BF16_TFLOPS = 989.5e12   # H100 SXM dense bf16 peak (no sparsity)
+H100_HBM_BYTES_S = 3.35e12    # H100 SXM HBM3 bandwidth
+REF_TRAIN_MFU = 0.45          # generous for HF Trainer+ZeRO-3 at seq ~3k
+REF_DECODE_BW_EFF = 0.60      # HF generate eager decode: fraction of peak BW
+V5E_BF16_TFLOPS = 197e12      # v5e chip peak, for the achieved-MFU extra
+
+
+def _reference_stack_sps(n_lm, n_vit, P, C, G, n_patches):
+    """Samples/sec/GPU for the reference stack at the same shapes.
+
+    Per *sample* (one completion in a G-group, per_device_batch=1 so one GPU
+    runs one group per step — run_SpaceR_SG_RLVR.sh:21,39):
+      - rollout prefill: HF generate expands the batch to G BEFORE prefill
+        (num_return_sequences path), so each sample pays a full 2*N*P prompt
+        forward — no prefix sharing (SG_RLVR_trainer.py:462-481).
+      - rollout decode: weight-bound; G samples share one weight pass per
+        decoded token, so bytes/sample = 2*N*C/G at HBM efficiency
+        REF_DECODE_BW_EFF (eager HF generate, enforce_eager in the vLLM
+        variant too, vllm_grpo_trainer_modified.py:372).
+      - policy logp fwd+bwd: 6*N*(P+C) (SG_RLVR_trainer.py:526-532 + Trainer
+        backward).
+      - ref logp fwd: 2*N*(P+C) (SG_RLVR_trainer.py:534-547).
+      - ViT: the reference tiles pixel_values x G (SG_RLVR_trainer.py:516-518)
+        so EVERY sample pays a full vision encode in each of the three passes
+        (policy fwd+bwd = 3x, ref fwd = 1x, generate prefill = 1x):
+        vit_flops = (3 + 1 + 1) * 2 * n_vit * n_patches.
+    Compute terms run at H100 peak * REF_TRAIN_MFU; the decode term is
+    bandwidth-bound and additive (different hardware limit, not overlapped by
+    the synchronous HF Trainer loop).
+    """
+    T = P + C
+    flops = (
+        2 * n_lm * P            # prefill
+        + 6 * n_lm * T          # policy fwd+bwd
+        + 2 * n_lm * T          # ref fwd
+        + 5 * 2 * n_vit * n_patches  # ViT x(G-tiled) passes
+    )
+    compute_s = flops / (H100_BF16_TFLOPS * REF_TRAIN_MFU)
+    decode_s = (2 * n_lm * C / G) / (H100_HBM_BYTES_S * REF_DECODE_BW_EFF)
+    return 1.0 / (compute_s + decode_s)
+
+
+def _count_params(tree, skip_embed=True):
+    import jax
+
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        name = jax.tree_util.keystr(path)
+        if skip_embed and "embed" in name:
+            continue
+        total += leaf.size
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Encode benchmark (secondary metric).
+# ---------------------------------------------------------------------------
+
+def bench_encode():
+    """Video preprocess + full-scale (670M) ViT encode, frames/sec/chip.
+
+    Shapes follow the SpaceR training schedule: 16 frames at the 105369
+    px/frame budget (vision_process.py:288-295) -> grid (8,16,30) = 3840
+    patch tokens per clip.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +112,7 @@ def main():
         jax.random.key(0)
     )
     jax.block_until_ready(params)
-    print("# init done", flush=True)
+    print("# encode init done", flush=True)
 
     @jax.jit
     def pipeline(params, frames):
@@ -70,20 +138,34 @@ def main():
     dt = time.perf_counter() - t0
     fps = iters * T / dt
 
-    baseline_fps = 160.0  # nominal reference per-GPU preprocess+encode rate
-    print(json.dumps({
+    # baseline: reference ViT encode on one H100 at the same grid. torch+fa2
+    # runs the 670M ViT at ~REF_TRAIN_MFU of peak; preprocess (decord decode +
+    # torchvision bicubic resize) is host-side and overlapped-at-best.
+    n_vit = 670e6
+    n_patches = grid[0][0] * grid[0][1] * grid[0][2]
+    ref_s_per_clip = (2 * n_vit * n_patches) / (
+        H100_BF16_TFLOPS * REF_TRAIN_MFU
+    )
+    ref_fps = T / ref_s_per_clip
+    return {
         "metric": "video_preprocess_encode_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / baseline_fps, 3),
-    }))
+        "vs_baseline": round(fps / ref_fps, 3),
+        "baseline_fps_h100_derived": round(ref_fps, 1),
+    }
 
 
-def main_grpo():
+# ---------------------------------------------------------------------------
+# GRPO train-step benchmark (headline metric).
+# ---------------------------------------------------------------------------
+
+def bench_grpo():
     """GRPO train-step throughput: samples/sec/chip at reference shapes
-    (G=8 completions of 1024 tokens over a video prompt) on a 1B-scale
-    Qwen2.5-VL (structurally identical to the 7B; fits one v5e chip with
-    optimizer state)."""
+    (G=8 completions of 1024 tokens over a ~2k-token video prompt) on a
+    1.3B-scale Qwen2.5-VL (structurally identical to the 7B; policy + ref +
+    adam moments + grads must fit one 16G chip for this single-chip bench —
+    multi-chip runs shard instead, validated by dryrun_multichip)."""
     import jax
     import jax.numpy as jnp
 
@@ -94,10 +176,6 @@ def main_grpo():
     from spacer_tpu.train import make_optimizer
     from spacer_tpu.train.step import make_grpo_train_step
 
-    # ~1.3B params total: policy + ref + adam moments + transient grads is
-    # five param copies, which must fit one 16G chip for this single-chip
-    # bench (multi-chip runs shard instead). Structure (GQA, windowed ViT,
-    # M-RoPE, remat, chunked logp) matches the 7B exactly.
     cfg = Qwen25VLConfig(
         text=TextConfig(
             vocab_size=49152, hidden_size=2048, intermediate_size=8192,
@@ -114,12 +192,13 @@ def main_grpo():
     ref_params = jax.tree.map(jnp.copy, params)
     tx = make_optimizer(learning_rate=1e-6, total_steps=1000)
     opt_state = tx.init(params)
-    print("# init done", flush=True)
+    print("# grpo init done", flush=True)
 
     G, P_len, C = 8, 2048, 1024
     T, H, W = 16, 224, 420
     grid = ((T // 2, H // 14, W // 14),)
-    n_video = (grid[0][0] * grid[0][1] * grid[0][2]) // 4
+    n_patches = grid[0][0] * grid[0][1] * grid[0][2]
+    n_video = n_patches // 4
     rng = np.random.default_rng(0)
     prompt = (
         [10] * (P_len - n_video - 2)
@@ -149,7 +228,7 @@ def main_grpo():
         "completion_mask": np.ones((G, C), np.int32),
         "advantages": rng.normal(size=(G,)).astype(np.float32),
         "pixel_values": rng.normal(
-            size=((T // 2) * (H // 14) * (W // 14), cfg.vision.patch_dim)
+            size=(n_patches, cfg.vision.patch_dim)
         ).astype(np.float32),
     }
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -160,7 +239,7 @@ def main_grpo():
         num_generations=G, prompt_len=P_len,
     )
     float(metrics["loss"])  # sync
-    print("# compiled", flush=True)
+    print("# grpo compiled", flush=True)
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -171,18 +250,57 @@ def main_grpo():
     float(metrics["loss"])
     dt = time.perf_counter() - t0
     sps = iters * G / dt
-    print(json.dumps({
-        "metric": "grpo_train_samples_per_sec_per_chip_1.3b",
+
+    # baseline: the reference stack running the SAME shapes on one H100
+    # (full derivation in _reference_stack_sps docstring).
+    n_lm = _count_params(params["model"])
+    n_vit = _count_params(params["visual"])
+    ref_sps = _reference_stack_sps(n_lm, n_vit, P_len, C, G, n_patches)
+
+    # achieved model-flops utilisation for OUR step (policy fwd+bwd + ref fwd
+    # + one shared vision encode fwd(+bwd) — we encode pixels once per group,
+    # not xG), as an extra diagnostic.
+    T_tok = P_len + C
+    our_flops_per_sample = (
+        6 * n_lm * T_tok + 2 * n_lm * T_tok
+        + (3 + 1) * 2 * n_vit * n_patches / G
+    )
+    mfu = sps * our_flops_per_sample / V5E_BF16_TFLOPS
+
+    print(
+        f"# derivation: ref H100 sps = 1/(compute+decode) at same shapes "
+        f"(n_lm={n_lm/1e9:.2f}B non-embed, n_vit={n_vit/1e6:.0f}M, "
+        f"P={P_len}, C={C}, G={G}, patches={n_patches}, "
+        f"MFU={REF_TRAIN_MFU}, bw_eff={REF_DECODE_BW_EFF}) "
+        f"= {ref_sps:.3f} samples/s/GPU",
+        flush=True,
+    )
+    return {
+        "metric": "grpo_train_samples_per_sec_per_chip",
         "value": round(sps, 3),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(sps / 2.0, 3),  # nominal per-GPU reference rate
-    }))
+        "vs_baseline": round(sps / ref_sps, 3),
+        "baseline_sps_h100_derived": round(ref_sps, 3),
+        "achieved_mfu_v5e": round(mfu, 3),
+    }
+
+
+def main(mode="all"):
+    if mode == "encode":
+        print(json.dumps(bench_encode()))
+        return
+    if mode == "grpo":
+        print(json.dumps(bench_grpo()))
+        return
+    grpo = bench_grpo()
+    encode = bench_encode()
+    out = dict(grpo)
+    out["encode_frames_per_sec_per_chip"] = encode["value"]
+    out["encode_vs_baseline"] = encode["vs_baseline"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) > 1 and sys.argv[1] == "grpo":
-        main_grpo()
-    else:
-        main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "all")
