@@ -12,10 +12,11 @@ from spacer_tpu.parallel.partition import (
     QWEN_PARTITION_RULES,
     batch_spec,
     partition_spec_tree,
+    place_batch,
     shard_params,
 )
 
 __all__ = [
     "create_mesh", "mesh_shape_for", "QWEN_PARTITION_RULES",
-    "partition_spec_tree", "shard_params", "batch_spec",
+    "partition_spec_tree", "shard_params", "batch_spec", "place_batch",
 ]

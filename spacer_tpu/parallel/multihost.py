@@ -19,13 +19,26 @@ import numpy as np
 
 
 def initialize(**kwargs) -> None:
-    """jax.distributed.initialize, tolerant of single-host runs."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """jax.distributed.initialize, tolerant of single-host runs.
+
+    MUST be called before any JAX backend query (jax.devices(),
+    jax.process_count(), the first jit...): querying the backend first
+    initializes a local single-process runtime and silently defeats
+    distributed init. This wrapper therefore never touches the backend
+    before calling jax.distributed.initialize; it only swallows the
+    "no cluster environment" error for plain single-host runs.
+    """
+    from jax._src.distributed import global_state
+
+    if global_state.client is not None:
+        return  # already initialized (idempotent)
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # single-host / already initialized
+    except (ValueError, RuntimeError):
+        if kwargs:
+            # explicit cluster config must not silently degrade
+            raise
+        # bare initialize() with no cluster env detected: single-host run
 
 
 def global_mesh(tp: int = 1):

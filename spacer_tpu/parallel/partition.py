@@ -122,3 +122,43 @@ def shard_params(params, mesh, rules=None):
 def batch_spec(mesh) -> P:
     """Batch-dimension spec: data-parallel over data x fsdp."""
     return P(("data", "fsdp"))
+
+
+# batch keys whose SECOND dim is the batch dimension (e.g. rope position_ids
+# are (3, N, S)); everything else shards dim 0.
+_BATCH_DIM1_KEYS = frozenset({"position_ids"})
+# keys shared by the whole batch (packed patch tokens, not per-row)
+_REPLICATED_KEYS = frozenset({"pixel_values"})
+
+
+def place_batch(batch: dict, mesh):
+    """Explicitly place a host-side train batch onto the mesh.
+
+    Row-indexed arrays shard over the data x fsdp axes (the DP equivalent of
+    the reference's 8-process torchrun split, run_SpaceR_SG_RLVR.sh:9-21);
+    packed pixel patches replicate (the vision encode output is broadcast to
+    every group).  Dims not divisible by the axis size fall back to
+    replication rather than erroring (tiny tests / odd G).
+
+    Arrays that are already jax Arrays (e.g. an async-dispatched ref_logps)
+    pass through untouched.
+    """
+    baxes = batch_spec(mesh)[0]
+    n_shards = int(np.prod([mesh.shape[a] for a in baxes]))
+
+    def spec_for(k, v):
+        if k in _REPLICATED_KEYS:
+            return P()
+        dim = 1 if k in _BATCH_DIM1_KEYS else 0
+        if v.ndim <= dim or v.shape[dim] % n_shards != 0:
+            return P()
+        return P(*([None] * dim), baxes)
+
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, jax.Array) and not isinstance(v, np.ndarray):
+            out[k] = v
+            continue
+        v = np.asarray(v)
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec_for(k, v)))
+    return out

@@ -33,6 +33,28 @@ def _head_kernel(params_model, text_cfg):
     return params_model["lm_head"]["kernel"]
 
 
+def tile_vision_embeds(ve, cfg: Qwen25VLConfig, grid_thw, num_generations: int,
+                       grids_per_prompt=None):
+    """Broadcast per-prompt vision embeddings across each prompt's G
+    completions, preserving group-major row order [p0*G, p1*G, ...].
+
+    ve: (sum_p n_p, D) merged embeddings for all prompts' media in prompt
+    order.  grids_per_prompt: static tuple, number of grids owned by each
+    prompt (None or single-prompt -> plain tile, the B=1 fast path).
+    """
+    if grids_per_prompt is None or len(grids_per_prompt) <= 1:
+        return jnp.tile(ve, (num_generations, 1))
+    mu = cfg.vision.spatial_merge_unit
+    counts = [t * h * w // mu for (t, h, w) in grid_thw]
+    parts, off, i = [], 0, 0
+    for ng in grids_per_prompt:
+        n = sum(counts[i : i + ng])
+        i += ng
+        parts.append(jnp.tile(ve[off : off + n], (num_generations, 1)))
+        off += n
+    return jnp.concatenate(parts, axis=0)
+
+
 def _completion_logps(
     params, cfg: Qwen25VLConfig, input_ids, position_ids, kv_mask,
     prompt_len: int, vision_embeds=None, remat: bool = False,
@@ -85,12 +107,14 @@ def make_grpo_train_step(
     bound_prompt_len = prompt_len
 
     def loss_fn(params, ref_logps, batch, grid_thw, num_generations,
-                prompt_len):
+                prompt_len, grids_per_prompt):
         vision_embeds = None
         if grid_thw is not None and encode_vision_in_step:
             ve = encode_vision(params, cfg, batch["pixel_values"], grid_thw,
                                remat=remat, attn_impl=attn_impl)
-            vision_embeds = jnp.tile(ve, (num_generations, 1))
+            vision_embeds = tile_vision_embeds(
+                ve, cfg, grid_thw, num_generations, grids_per_prompt
+            )
         logps = _completion_logps(
             params, cfg, batch["input_ids"], batch["position_ids"],
             batch["kv_mask"], prompt_len, vision_embeds=vision_embeds,
@@ -104,11 +128,13 @@ def make_grpo_train_step(
 
     @functools.partial(
         jax.jit,
-        static_argnames=("grid_thw", "num_generations", "prompt_len"),
+        static_argnames=("grid_thw", "num_generations", "prompt_len",
+                         "grids_per_prompt"),
     )
     def ref_logps_fn(ref_params, batch, grid_thw=None,
                      num_generations: int = 1,
-                     prompt_len: int | None = None):
+                     prompt_len: int | None = None,
+                     grids_per_prompt=None):
         """Reference logps as a standalone jit: the trainer dispatches this
         asynchronously right after rollout so it overlaps with host-side
         reward computation."""
@@ -117,7 +143,9 @@ def make_grpo_train_step(
         if grid_thw is not None and encode_vision_in_step:
             rve = encode_vision(ref_params, cfg, batch["pixel_values"],
                                 grid_thw, remat=remat, attn_impl=attn_impl)
-            ref_vision_embeds = jnp.tile(rve, (num_generations, 1))
+            ref_vision_embeds = tile_vision_embeds(
+                rve, cfg, grid_thw, num_generations, grids_per_prompt
+            )
         return _completion_logps(
             ref_params, cfg, batch["input_ids"], batch["position_ids"],
             batch["kv_mask"], prompt_len, vision_embeds=ref_vision_embeds,
@@ -126,24 +154,27 @@ def make_grpo_train_step(
 
     @functools.partial(
         jax.jit,
-        static_argnames=("grid_thw", "num_generations", "prompt_len"),
+        static_argnames=("grid_thw", "num_generations", "prompt_len",
+                         "grids_per_prompt"),
         donate_argnames=("params", "opt_state"),
     )
     def step(params, ref_params, opt_state, batch, grid_thw=None,
-             num_generations: int = 1, prompt_len: int | None = None):
+             num_generations: int = 1, prompt_len: int | None = None,
+             grids_per_prompt=None):
         prompt_len = prompt_len if prompt_len is not None else bound_prompt_len
         if "ref_logps" in batch:
             ref_logps = batch["ref_logps"]
         else:
             ref_logps = ref_logps_fn(
-                ref_params, batch, grid_thw, num_generations, prompt_len
+                ref_params, batch, grid_thw, num_generations, prompt_len,
+                grids_per_prompt,
             )
         ref_logps = jax.lax.stop_gradient(ref_logps)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, ref_logps,
             {k: v for k, v in batch.items() if k != "ref_logps"},
-            grid_thw, num_generations, prompt_len
+            grid_thw, num_generations, prompt_len, grids_per_prompt
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(

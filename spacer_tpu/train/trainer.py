@@ -44,6 +44,11 @@ class SGRLVRConfig:
     """Training hyperparameters (defaults = run_SpaceR_SG_RLVR.sh:15-39)."""
 
     num_generations: int = 8
+    # prompts (groups) per optimizer step. The reference's global batch is 8
+    # prompts/step (8 procs x per_device_train_batch_size 1,
+    # run_SpaceR_SG_RLVR.sh:9,21); one SPMD process covers the whole mesh, so
+    # the equivalent setting here is rollout_batch_size=8 on an 8-chip mesh.
+    rollout_batch_size: int = 1
     max_prompt_length: int = 16384
     max_completion_length: int = 1024
     learning_rate: float = 1e-6
@@ -102,9 +107,9 @@ class SGRLVRTrainer:
             else jax.tree.map(jnp.copy, params)
         )
 
-        total = args.max_steps or (
-            args.num_train_epochs * len(self.dataset)
-        )
+        steps_per_epoch = -(-len(self.dataset)
+                            // max(1, args.rollout_batch_size))
+        total = args.max_steps or (args.num_train_epochs * steps_per_epoch)
         self.tx = make_optimizer(
             learning_rate=args.learning_rate,
             total_steps=total,
@@ -181,6 +186,58 @@ class SGRLVRTrainer:
         enc["attention_mask"] = enc["attention_mask"][:, -mp:]
         return enc
 
+    def _collate(self, encs: list[dict]) -> dict:
+        """B single-row processor outputs -> one batch dict.
+
+        Prompts are left-padded to the common max length (the reference gets
+        this from processor(padding_side='left'), SG_RLVR_trainer.py:417-430);
+        media patches/grids concatenate in row order, which is exactly the
+        batch-major order merge_vision_embeds scatters in.
+        """
+        pad_id = self.processor.pad_token_id
+        L = max(e["input_ids"].shape[1] for e in encs)
+        ids, mask = [], []
+        for e in encs:
+            p = L - e["input_ids"].shape[1]
+            ids.append(np.pad(e["input_ids"], ((0, 0), (p, 0)),
+                              constant_values=pad_id))
+            mask.append(np.pad(e["attention_mask"], ((0, 0), (p, 0))))
+        out = {
+            "input_ids": np.concatenate(ids),
+            "attention_mask": np.concatenate(mask),
+        }
+        pixels, vgrids, igrids, spgt, counts, allg = [], [], [], [], [], []
+        for e in encs:
+            if "video_grid_thw" in e and "image_grid_thw" in e:
+                raise NotImplementedError(
+                    "mixed image+video in one prompt is not supported"
+                )
+            n = 0
+            if "video_grid_thw" in e:
+                pixels.append(np.asarray(e["pixel_values_videos"]))
+                vgrids.append(np.asarray(e["video_grid_thw"]))
+                allg.extend(np.asarray(e["video_grid_thw"]))
+                n = len(e["video_grid_thw"])
+                ts = e.get("second_per_grid_ts")
+                spgt.extend(list(ts) if ts is not None else [1.0] * n)
+            elif "image_grid_thw" in e:
+                pixels.append(np.asarray(e["pixel_values"]))
+                igrids.append(np.asarray(e["image_grid_thw"]))
+                allg.extend(np.asarray(e["image_grid_thw"]))
+                n = len(e["image_grid_thw"])
+            counts.append(n)
+        if pixels:
+            out["pixel_values"] = np.concatenate(pixels).astype(np.float32)
+            # flat grids in row order (ViT packs all media in one call)
+            out["grid_thw"] = tuple(tuple(int(x) for x in g) for g in allg)
+            if vgrids:
+                out["video_grid_thw"] = np.concatenate(vgrids)
+                out["second_per_grid_ts"] = spgt
+            if igrids:
+                out["image_grid_thw"] = np.concatenate(igrids)
+        out["grids_per_prompt"] = tuple(counts)
+        return out
+
     def _positions(self, enc: dict):
         return get_rope_index(
             self.cfg,
@@ -193,28 +250,45 @@ class SGRLVRTrainer:
 
     # -- one training step ---------------------------------------------
 
-    def training_step(self, row: dict, rng: np.random.Generator,
-                      prepared=None):
+    def _place(self, batch: dict) -> dict:
+        """Explicit mesh placement of the host batch (multi-host aware)."""
+        if self.mesh is None:
+            return batch
+        if jax.process_count() > 1:
+            from spacer_tpu.parallel.multihost import global_batch_from_local
+
+            return global_batch_from_local(batch, self.mesh)
+        from spacer_tpu.parallel import place_batch
+
+        return place_batch(batch, self.mesh)
+
+    def training_step(self, rows, rng: np.random.Generator, prepared=None):
+        """One optimizer step over B = len(rows) prompt-groups.
+
+        B=1 matches one reference process; B=8 matches the reference's
+        8-process global step (run_SpaceR_SG_RLVR.sh:9,21). Advantages stay
+        per-group (SG_RLVR_trainer.py:632-638); temporal/length bonuses apply
+        per group, which at B=1 is exactly the reference's per-process batch.
+        """
         args = self.args
         G = args.num_generations
+        if isinstance(rows, dict):
+            rows = [rows]
+        if prepared is not None and not isinstance(prepared, list):
+            prepared = [prepared]
+        B = len(rows)
         t_start = time.perf_counter()
 
-        enc, has_video = prepared if prepared is not None else (
-            self._prepare_inputs(row)
-        )
-        enc = self._truncate_prompt(enc)
+        preps = prepared if prepared is not None else [
+            self._prepare_inputs(r) for r in rows
+        ]
+        encs = [self._truncate_prompt(p[0]) for p in preps]
+        has_video = [p[1] for p in preps]
+        enc = self._collate(encs)
         pos, deltas = self._positions(enc)
-
-        grid_thw = None
-        pixel_values = None
-        if "video_grid_thw" in enc:
-            grid_thw = tuple(tuple(int(x) for x in g)
-                             for g in enc["video_grid_thw"])
-            pixel_values = enc["pixel_values_videos"]
-        elif "image_grid_thw" in enc:
-            grid_thw = tuple(tuple(int(x) for x in g)
-                             for g in enc["image_grid_thw"])
-            pixel_values = enc["pixel_values"]
+        grid_thw = enc.get("grid_thw")
+        grids_per_prompt = enc["grids_per_prompt"]
+        pixel_values = enc.get("pixel_values")
 
         sample_out = self.sampler.generate(
             enc["input_ids"], enc["attention_mask"], self.params,
@@ -233,8 +307,9 @@ class SGRLVRTrainer:
         from spacer_tpu.utils.logging import debug_trace
 
         debug_trace(
-            "rollout", step=self.global_step, path=row.get("path"),
-            problem_id=row.get("problem_id"),
+            "rollout", step=self.global_step,
+            path=[r.get("path") for r in rows],
+            problem_id=[r.get("problem_id") for r in rows],
             completions="\n---\n".join(completions),
         )
         t_rollout = time.perf_counter()
@@ -259,10 +334,10 @@ class SGRLVRTrainer:
             [np.repeat(prompt_mask_p, G, axis=0), comp_mask], axis=1
         ).astype(bool)
         comp_pos = (deltas.reshape(-1, 1) - pad) + Pb + np.arange(C)[None, :]
-        comp_pos = np.repeat(comp_pos, G, axis=0)
+        comp_pos = np.repeat(comp_pos, G, axis=0)  # (B*G, C)
         pos_full = np.concatenate(
             [np.repeat(pos_p, G, axis=1),
-             np.broadcast_to(comp_pos[None], (3, G, C))],
+             np.broadcast_to(comp_pos[None], (3, B * G, C))],
             axis=2,
         ).astype(np.int32)
         batch = {
@@ -273,24 +348,32 @@ class SGRLVRTrainer:
         }
         if pixel_values is not None:
             batch["pixel_values"] = np.asarray(pixel_values, np.float32)
+        batch = self._place(batch)
         # async dispatch: overlaps with the reward python below
         ref_logps = self.step_fn.ref_logps_fn(
-            self.ref_params, batch, grid_thw, G, Pb
+            self.ref_params, batch, grid_thw, G, Pb, grids_per_prompt
         )
 
-        # temporal-shuffle rollout (G/2 generations)
-        shuffled_rewards = None
-        if args.temporal and has_video:
-            s_enc, _ = self._prepare_inputs(row, shuffle_frames=True, rng=rng)
-            s_enc = self._truncate_prompt(s_enc)
-            s_pos, s_deltas = self._positions(s_enc)
-            s_grid = tuple(tuple(int(x) for x in g)
-                           for g in s_enc["video_grid_thw"])
+        # temporal-shuffle rollouts (G/2 generations), batched over the
+        # video rows of the step
+        shuffled_rewards = {}
+        video_idx = [b for b in range(B) if has_video[b]]
+        if args.temporal and video_idx:
+            s_encs = []
+            for b in video_idx:
+                s_enc, _ = self._prepare_inputs(
+                    rows[b], shuffle_frames=True, rng=rng
+                )
+                s_encs.append(self._truncate_prompt(s_enc))
+            s_col = self._collate(s_encs)
+            s_pos, s_deltas = self._positions(s_col)
+            Gs = G // 2
             s_out = self.sampler.generate(
-                s_enc["input_ids"], s_enc["attention_mask"], self.params,
+                s_col["input_ids"], s_col["attention_mask"], self.params,
                 position_ids=s_pos, deltas=s_deltas,
-                pixel_values=s_enc["pixel_values_videos"], grid_thw=s_grid,
-                num_generations=G // 2,
+                pixel_values=s_col.get("pixel_values"),
+                grid_thw=s_col.get("grid_thw"),
+                num_generations=Gs,
                 max_new_tokens=args.max_completion_length,
                 temperature=args.temperature, top_p=args.top_p,
                 seed=int(rng.integers(2**31)),
@@ -299,28 +382,42 @@ class SGRLVRTrainer:
                 [seq[:n] for seq, n in zip(s_out.sequences, s_out.lengths)],
                 skip_special_tokens=True,
             )
-            shuffled_rewards = self._compute_rewards(row, s_completions)
+            for j, b in enumerate(video_idx):
+                shuffled_rewards[b] = self._compute_rewards(
+                    rows[b], s_completions[j * Gs : (j + 1) * Gs]
+                )
 
-        rewards_per_func = self._compute_rewards(row, completions)
+        rewards_per_func = np.concatenate([
+            self._compute_rewards(rows[b], completions[b * G : (b + 1) * G])
+            for b in range(B)
+        ])
 
-        temporal_flag = 0.5
-        if args.temporal and has_video and shuffled_rewards is not None:
-            rewards_per_func, temporal_flag = temporal_bonus(
-                rewards_per_func, shuffled_rewards
-            )
-        rewards = rewards_per_func.sum(axis=1)
-        if args.len_control:
-            rewards = length_control_bonus(
-                rewards, rewards_per_func[:, 0], sample_out.lengths
-            )
+        temporal_flags = []
+        rewards = np.zeros(B * G, np.float32)
+        for b in range(B):
+            sl = slice(b * G, (b + 1) * G)
+            rpf = rewards_per_func[sl]
+            if args.temporal and b in shuffled_rewards:
+                rpf, flag = temporal_bonus(rpf, shuffled_rewards[b])
+                rewards_per_func[sl] = rpf
+                temporal_flags.append(flag)
+            r = rpf.sum(axis=1)
+            if args.len_control:
+                r = length_control_bonus(
+                    r, rpf[:, 0], sample_out.lengths[sl]
+                )
+            rewards[sl] = r
         advantages = np.asarray(group_advantages(jnp.asarray(rewards), G))
         t_reward = time.perf_counter()
 
-        batch["advantages"] = advantages.astype(np.float32)
+        batch.update(self._place({
+            "advantages": advantages.astype(np.float32)
+        }))
         batch["ref_logps"] = ref_logps  # dispatched earlier, likely done
         self.params, self.opt_state, metrics = self.step_fn(
             self.params, self.ref_params, self.opt_state, batch,
             grid_thw=grid_thw, num_generations=G, prompt_len=Pb,
+            grids_per_prompt=grids_per_prompt,
         )
         t_update = time.perf_counter()
 
@@ -335,7 +432,9 @@ class SGRLVRTrainer:
         m["all_wrong"].append(float((group <= 1).all(axis=1).mean()))
         m["all_correct"].append(float((group >= 2).all(axis=1).mean()))
         if args.temporal:
-            m["temporal_rewards"].append(temporal_flag)
+            m["temporal_rewards"].append(
+                float(np.mean(temporal_flags)) if temporal_flags else 0.5
+            )
         m["reward"].append(float(rewards.mean()))
         m["reward_std"].append(float(group.std(axis=1, ddof=1).mean()))
         m["kl"].append(float(metrics["kl"]))
@@ -375,16 +474,16 @@ class SGRLVRTrainer:
         # epoch order is a pure function of the seed, so resume recovers the
         # dataloader position from global_step alone
         rng = np.random.default_rng(args.seed)
-        total = args.max_steps or (
-            len(self.dataset) * args.num_train_epochs
-        )
-        start_epoch = self.global_step // len(self.dataset)
+        B = max(1, args.rollout_batch_size)
+        steps_per_epoch = -(-len(self.dataset) // B)
+        total = args.max_steps or (steps_per_epoch * args.num_train_epochs)
+        start_epoch = self.global_step // steps_per_epoch
         from concurrent.futures import ThreadPoolExecutor
 
-        # Host-side prefetch: decode+preprocess the NEXT row's video while
+        # Host-side prefetch: decode+preprocess the NEXT chunk's videos while
         # the current step trains (the reference decodes synchronously every
         # step — SURVEY.md §3.1 hot loop (c)).
-        prefetch = ThreadPoolExecutor(max_workers=1)
+        prefetch = ThreadPoolExecutor(max_workers=min(4, B + 1))
 
         for epoch in range(args.num_train_epochs):
             order = np.random.default_rng(args.seed + epoch).permutation(
@@ -392,38 +491,44 @@ class SGRLVRTrainer:
             )
             if epoch < start_epoch:
                 continue
+            chunks = [order[i : i + B] for i in range(0, len(order), B)]
             skip = (
-                self.global_step % len(self.dataset)
+                self.global_step % steps_per_epoch
                 if epoch == start_epoch else 0
             )
 
-            def submit(i):
-                if i >= len(order):
+            def submit(ci):
+                if ci >= len(chunks):
                     return None
-                r = self.dataset[int(order[i])]
-                return prefetch.submit(self._prepare_inputs, r)
+                return [
+                    prefetch.submit(self._prepare_inputs, self.dataset[int(j)])
+                    for j in chunks[ci]
+                ]
 
             pending = submit(skip)
-            for i, idx in enumerate(order):
-                if i < skip:
-                    continue
+            for ci in range(skip, len(chunks)):
                 if self.global_step >= total:
                     prefetch.shutdown(wait=False)
                     return
-                row = self.dataset[int(idx)]
+                chunk_rows = [self.dataset[int(j)] for j in chunks[ci]]
                 try:
-                    prepared = pending.result() if pending is not None else None
+                    prepared = (
+                        [f.result() for f in pending]
+                        if pending is not None else None
+                    )
                 except Exception:
                     prepared = None
-                pending = submit(i + 1)
+                pending = submit(ci + 1)
                 try:
-                    self.training_step(row, rng, prepared=prepared)
+                    self.training_step(chunk_rows, rng, prepared=prepared)
                 except Exception as e:
                     # degrade instead of crashing (the reference absorbs
                     # failures via its try/except fallbacks, SURVEY.md §4)
                     self.logger.log_event(
                         {"step": self.global_step, "error": repr(e),
-                         "problem_id": row.get("problem_id")}
+                         "problem_id": [
+                             r.get("problem_id") for r in chunk_rows
+                         ]}
                     )
                     if not self.args.skip_failed_steps:
                         raise
