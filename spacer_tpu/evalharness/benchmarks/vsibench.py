@@ -182,6 +182,7 @@ def evaluate_vsibench(
     rank, world_size, data_file, video_dir, engine, output_dir, *,
     num_frames=32, fps=1, target_resolution=(448, 448), debug=False,
     batch_size=1, debug_size=4, prompt_type="thinking",
+    max_new_tokens=None,
 ):
     import pandas as pd
 
@@ -220,7 +221,8 @@ def evaluate_vsibench(
         }
         return messages, record
 
-    max_new = 128 if prompt_type == "default" else 1024
+    max_new = max_new_tokens if max_new_tokens is not None else (
+        128 if prompt_type == "default" else 1024)
     return run_worker(
         task="VSI-Bench", rank=rank, world_size=world_size, rows=rows,
         build_sample=build_sample, engine=engine, output_dir=output_dir,

@@ -37,6 +37,9 @@ class EvalConfig:
     data_file: Optional[str] = None
     video_dir: Optional[str] = None
     mode: Optional[str] = None     # scorer mode; defaults to prompt_type
+    # override the prompt_type-derived decode budget (1024 thinking / 128
+    # default, vsibench.py:170-174); None keeps reference behavior
+    max_new_tokens: Optional[int] = None
 
 
 def prepare_data(task: str, data_root: str = ".") -> tuple:
@@ -122,7 +125,7 @@ def run_benchmark(cfg: EvalConfig, engine) -> dict:
             cfg.output_dir, num_frames=cfg.num_frames, fps=cfg.fps,
             target_resolution=tuple(cfg.target_resolution), debug=cfg.debug,
             batch_size=cfg.batch_size, debug_size=cfg.debug_size,
-            prompt_type=cfg.prompt_type,
+            prompt_type=cfg.prompt_type, max_new_tokens=cfg.max_new_tokens,
         )
         elapsed.append(dt)
     logger.info(

@@ -134,28 +134,38 @@ def _decode_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
     tv = jax.lax.dynamic_update_slice(tv, v.astype(tv.dtype),
                                       (0, tail_index, 0, 0))
 
+    # attention math: operands stay in the cache dtype (bf16 on TPU) with
+    # f32 ACCUMULATION via preferred_element_type — never .astype the caches
+    # (that would materialize an f32 copy of the whole KV every layer every
+    # step, tripling decode HBM traffic and forcing 4-pass f32 MXU matmuls);
+    # scale/softmax run on the f32 logits, so statistics stay exact.
     scale = Dh ** -0.5
     group_q = H // Hkv
-    qf = q.reshape(B, G, Hkv, group_q, Dh).astype(jnp.float32) * scale
+    qf = q.reshape(B, G, Hkv, group_q, Dh)
     # prefix logits: one read of (B, P) kv serves all G rows
-    lp = jnp.einsum("bghcd,bphd->bghcp", qf, pk.astype(jnp.float32))
+    lp = jnp.einsum("bghcd,bphd->bghcp", qf, pk.astype(qf.dtype),
+                    preferred_element_type=jnp.float32) * scale
     lp = jnp.where(prefix_mask[:, None, None, None, :],
                    lp, -1e30)  # (B, G, Hkv, group, P)
     # tail logits per completion row
     qt = qf.reshape(N, Hkv, group_q, Dh)
-    lt = jnp.einsum("nhcd,nthd->nhct", qt, tk.astype(jnp.float32))
+    lt = jnp.einsum("nhcd,nthd->nhct", qt, tk.astype(qf.dtype),
+                    preferred_element_type=jnp.float32) * scale
     lt = jnp.where(tail_mask[:, None, None, :], lt, -1e30)
 
     full = jnp.concatenate(
         [lp.reshape(N, Hkv, group_q, P), lt], axis=-1
     )  # (N, Hkv, group, P+NEW)
     probs = jax.nn.softmax(full, axis=-1)
-    probs_p = probs[..., :P].reshape(B, G, Hkv, group_q, P)
-    probs_t = probs[..., P:]
+    pb = probs.astype(pv.dtype)
+    probs_p = pb[..., :P].reshape(B, G, Hkv, group_q, P)
+    probs_t = pb[..., P:]
     out = (
-        jnp.einsum("bghcp,bphd->bghcd", probs_p, pv.astype(jnp.float32))
+        jnp.einsum("bghcp,bphd->bghcd", probs_p, pv,
+                   preferred_element_type=jnp.float32)
         .reshape(N, Hkv, group_q, Dh)
-        + jnp.einsum("nhct,nthd->nhcd", probs_t, tv.astype(jnp.float32))
+        + jnp.einsum("nhct,nthd->nhcd", probs_t, tv,
+                     preferred_element_type=jnp.float32)
     ).astype(h.dtype)
     h = h + dense(p_attn["o_proj"], out.reshape(N, 1, H * Dh))
 
@@ -165,6 +175,20 @@ def _decode_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
     up = dense(p_mlp["up_proj"], x)
     h = h + dense(p_mlp["down_proj"], gate * up)
     return h, (tk, tv)
+
+
+def split_layers(stacked, num_layers: int):
+    """Stacked (L, ...) pytree -> tuple of L per-layer pytrees.
+
+    Decode is HBM-bound; lax.scan over stacked buffers materializes a sliced
+    copy of every layer's weights/caches each step AND rebuilds the stacked
+    tail-cache ys, roughly doubling per-step HBM traffic. Per-layer buffers
+    let every dot read its operand directly. The split costs one pass over
+    the buffers, amortized over the whole decode loop.
+    """
+    return tuple(
+        jax.tree.map(lambda x: x[l], stacked) for l in range(num_layers)
+    )
 
 
 def lm_decode_step(
@@ -179,31 +203,61 @@ def lm_decode_step(
     tail_index,           # scalar write position in the tail
     group: int,
 ):
-    """Shared-prefix decode step -> (logits (B*G, 1, V), new tail_cache)."""
+    """Shared-prefix decode step -> (logits (B*G, 1, V), new tail_cache).
+
+    Stacked-buffer convenience wrapper around lm_decode_step_split (one-shot
+    callers); the sampler's decode loop splits once and calls the _split
+    variant directly.
+    """
+    L = cfg.num_layers
+    layers = split_layers(params["layers"], L)
+    pre = split_layers((prefix_cache["k"], prefix_cache["v"]), L)
+    tail = split_layers((tail_cache["k"], tail_cache["v"]), L)
+    logits, new_tail = lm_decode_step_split(
+        layers, params, cfg, input_ids, position_ids, pre, prefix_mask,
+        tail, tail_mask, tail_index, group,
+    )
+    return logits, {
+        "k": jnp.stack([t[0] for t in new_tail]),
+        "v": jnp.stack([t[1] for t in new_tail]),
+    }
+
+
+def lm_decode_step_split(
+    layers,               # tuple of L per-layer param pytrees
+    params: Params,       # non-layer params (embed_tokens, norm, lm_head)
+    cfg: TextConfig,
+    input_ids,            # (B*G, 1)
+    position_ids,         # (3, B*G, 1)
+    prefix_split,         # tuple of L (pk, pv): (B, P, Hkv, Dh)
+    prefix_mask,          # (B, P)
+    tail_split,           # tuple of L (tk, tv): (B*G, NEW, Hkv, Dh)
+    tail_mask,            # (B*G, NEW)
+    tail_index,
+    group: int,
+):
+    """Per-layer-buffer decode step -> (logits, new tail_split)."""
     h = embed(params["embed_tokens"], input_ids)
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
     cos, sin = mrope_cos_sin(position_ids, inv_freq, cfg.mrope_section)
 
-    def scan_body(h, xs):
-        layer_params, pk, pv, tk, tv = xs
+    new_tail = []
+    for l in range(cfg.num_layers):
+        pk, pv = prefix_split[l]
+        tk, tv = tail_split[l]
         h, (tk, tv) = _decode_layer(
-            h, layer_params, pk, pv, tk, tv, cfg=cfg, cos=cos, sin=sin,
+            h, layers[l], pk, pv, tk, tv, cfg=cfg, cos=cos, sin=sin,
             prefix_mask=prefix_mask, tail_mask=tail_mask,
             tail_index=tail_index, group=group,
         )
-        return h, (tk, tv)
+        new_tail.append((tk, tv))
 
-    h, (nk, nv) = jax.lax.scan(
-        scan_body, h,
-        (params["layers"], prefix_cache["k"], prefix_cache["v"],
-         tail_cache["k"], tail_cache["v"]),
-    )
     h = rms_norm(params["norm"], h, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
         logits = jnp.dot(h, params["embed_tokens"]["embedding"].T)
     else:
         logits = dense(params["lm_head"], h)
-    return logits, {"k": nk, "v": nv}
+    return logits, tuple(new_tail)
 
 
 def lm_forward(

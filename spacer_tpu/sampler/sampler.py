@@ -84,10 +84,23 @@ def _decode_loop(
     deltas, prompt_len, group: int, max_new_tokens: int, temperature: float,
     top_p: float, eos_token_id: int, rng,
 ):
-    """Shared-prefix autoregressive loop. Returns tokens (B*G, max_new)."""
-    from spacer_tpu.models.qwen25_vl.language import lm_decode_step
+    """Shared-prefix autoregressive loop. Returns tokens (B*G, max_new).
+
+    Decode is HBM-bound, so params and both KV caches are split into
+    per-layer buffers ONCE before the loop: every matmul then reads its
+    operand directly instead of paying lax.scan's per-step slice copies and
+    stacked tail-cache rebuilds (~2x per-step HBM traffic at 2k prefix).
+    """
+    from spacer_tpu.models.qwen25_vl.language import (
+        lm_decode_step_split,
+        split_layers,
+    )
 
     N = first_tokens.shape[0]
+    L = text_cfg.num_layers
+    layers = split_layers(params["model"]["layers"], L)
+    prefix_split = split_layers((prefix_cache["k"], prefix_cache["v"]), L)
+    tail_split = split_layers((tail_cache["k"], tail_cache["v"]), L)
 
     tokens0 = jnp.zeros((N, max_new_tokens), jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first_tokens.astype(jnp.int32))
@@ -95,11 +108,11 @@ def _decode_loop(
     tail_positions = jnp.arange(max_new_tokens)
 
     def cond(state):
-        step, tokens, done, tail_cache, rng = state
+        step, tokens, done, tail_split, rng = state
         return (step < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        step, tokens, done, tail_cache, rng = state
+        step, tokens, done, tail_split, rng = state
         cur = jax.lax.dynamic_slice(tokens, (0, step - 1), (N, 1))
         # position = prompt_len + delta + (step - 1) on all three rope axes
         pos = (prompt_len + deltas.reshape(-1) + step - 1).astype(jnp.int32)
@@ -107,9 +120,9 @@ def _decode_loop(
         tail_mask = jnp.broadcast_to(
             tail_positions[None, :] < step, (N, max_new_tokens)
         )
-        logits, tail_cache = lm_decode_step(
-            params["model"], text_cfg, cur, pos3, prefix_cache, prefix_mask,
-            tail_cache, tail_mask, step - 1, group,
+        logits, tail_split = lm_decode_step_split(
+            layers, params["model"], text_cfg, cur, pos3, prefix_split,
+            prefix_mask, tail_split, tail_mask, step - 1, group,
         )
         rng, sub = jax.random.split(rng)
         nxt = sample_logits(logits[:, -1], sub, temperature, top_p)
@@ -118,9 +131,9 @@ def _decode_loop(
             tokens, nxt[:, None].astype(jnp.int32), (0, step)
         )
         done = done | (nxt == eos_token_id)
-        return step + 1, tokens, done, tail_cache, rng
+        return step + 1, tokens, done, tail_split, rng
 
-    state = (jnp.int32(1), tokens0, done0, tail_cache, rng)
+    state = (jnp.int32(1), tokens0, done0, tail_split, rng)
     _, tokens, done, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens
 

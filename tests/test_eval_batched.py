@@ -1,0 +1,87 @@
+"""Batched eval decode: EvalConfig(batch_size=4) with the real QwenEngine
+must produce the same per-row predictions as batch_size=1 (near-greedy
+decode), proving the serving path handles B>1 prompts per decode program
+(VERDICT r1 item 5; throughput role of vllm_grpo_trainer_modified.py:359-384).
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spacer_tpu.data import MockTokenizer, VLProcessor
+from spacer_tpu.evalharness import EvalConfig, QwenEngine, run_benchmark
+from spacer_tpu.models.qwen25_vl import tiny_config, init_params
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("videos_b")
+    d = root / "scannet"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    for name in ["scene1", "scene2"]:
+        path = str(d / f"{name}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                            (128, 96))
+        base = rng.integers(0, 255, (96, 128, 3), np.uint8)
+        for t in range(90):
+            w.write(np.roll(base, t, axis=0))
+        w.release()
+    return str(root)
+
+
+def _vsi_parquet(tmp_path):
+    rows = []
+    for i, (scene, qt, gt) in enumerate([
+        ("scene1", "object_counting", "3"),
+        ("scene1", "object_rel_distance", "A"),
+        ("scene2", "route_planning", "B"),
+        ("scene2", "object_counting", "2"),
+    ]):
+        rows.append({
+            "id": i, "dataset": "scannet", "scene_name": scene,
+            "question": f"q{i}", "options": ["A. x", "B. y"] if qt in (
+                "object_rel_distance", "route_planning") else [],
+            "ground_truth": gt, "question_type": qt,
+        })
+    pq = tmp_path / "vsi.parquet"
+    pd.DataFrame(rows).to_parquet(pq)
+    return str(pq)
+
+
+def test_eval_batch4_matches_batch1(video_dir, tmp_path):
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    tok = MockTokenizer(vocab_size=cfg.text.vocab_size)
+    proc = VLProcessor(tok, cfg)
+    pq = _vsi_parquet(tmp_path)
+
+    preds = {}
+    for bs in (1, 4):
+        engine = QwenEngine(cfg, params, proc, attn_impl="xla",
+                            length_bucket=64)
+        ecfg = EvalConfig(
+            task="VSI-Bench", output_dir=str(tmp_path / f"out_b{bs}"),
+            world_size=1, batch_size=bs, num_frames=4, fps=1,
+            prompt_type="default", data_file=pq, video_dir=video_dir,
+            max_new_tokens=8,
+        )
+        run_benchmark(ecfg, engine)
+        merged = os.path.join(str(tmp_path / f"out_b{bs}"),
+                              "VSI-Bench_results.jsonl")
+        docs = [json.loads(l) for l in open(merged)]
+        assert len(docs) == 4
+        preds[bs] = {d["id"]: d["predicted_answer"] for d in docs}
+        if bs == 4:
+            # the whole shard went through ONE decode program
+            assert engine._calls == 1
+
+    # near-greedy decode: batching must not change the per-row answers
+    assert preds[1] == preds[4]
