@@ -123,22 +123,27 @@ def bench_encode():
     def pipeline(params, frames):
         patches = _resize_normalize_patchify(frames, out_h, out_w)
         out = vit_forward(params, cfg, patches.astype(jnp.bfloat16), layout)
-        # scalar checksum: fetching it to host is the only reliable sync on
-        # remote-relay PJRT backends (block_until_ready returns early there)
-        return out, out.sum()
+        # scalar checksum ONLY: fetching it to host is the only reliable sync
+        # on remote-relay PJRT backends (block_until_ready returns early
+        # there), and returning the full embeddings would make the relay
+        # stream 6.6MB back per call, polluting the measurement
+        return out.sum()
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, size=(T, H, W, 3), dtype=np.uint8)
 
-    # warmup (compile) — float() forces a device-to-host sync
-    float(pipeline(params, jnp.asarray(frames))[1])
-    float(pipeline(params, jnp.asarray(frames))[1])
+    # warmup (compile + relay dispatch-pipeline settling: the first ~5 calls
+    # after compile run ~15% slow) — float() forces a device-to-host sync
+    dev_frames = jnp.asarray(frames)
+    float(pipeline(params, dev_frames))
+    for _ in range(6):
+        checksum = pipeline(params, dev_frames)
+    float(checksum)
 
     iters = 20
-    dev_frames = jnp.asarray(frames)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, checksum = pipeline(params, dev_frames)
+        checksum = pipeline(params, dev_frames)
     float(checksum)
     dt = time.perf_counter() - t0
     fps = iters * T / dt

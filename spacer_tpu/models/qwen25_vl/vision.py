@@ -333,6 +333,14 @@ def vit_forward(
         cfg.head_dim, cfg.rope_theta,
     )
 
+    # Pallas fused windowed-attention path (the TPU default): qkv/proj
+    # weights are reshaped+zero-padded so the projections EMIT/CONSUME the
+    # kernel's (H, S_pad, 128) layout directly — no transposes or pad copies
+    # on the hot path, and rope runs lane-aligned via rotate_half_matrix.
+    use_window_kernel = attn_impl == "pallas" or (
+        attn_impl is None and jax.devices()[0].platform == "tpu"
+    )
+
     def windowed_attn(qkv):
         """Reshape into (n_win, wt) windows — zero gathers."""
         q, k, v = qkv
@@ -368,6 +376,84 @@ def vit_forward(
     # fullatt_block_indexes is static: split the depth into contiguous runs
     # of windowed layers (scanned) with full-attention layers unrolled in
     # between — no runtime branching inside the scan body.
+    if use_window_kernel:
+        from spacer_tpu.nn.rope import rotate_half_matrix
+        from spacer_tpu.ops.vit_window_attention import (
+            validity_bias,
+            window_attention_hsd,
+        )
+
+        interp = jax.devices()[0].platform != "tpu"
+        L, Dm = cfg.depth, cfg.hidden_size
+        DP = -(-Dh // 128) * 128
+        A = params["blocks"]["attn"]
+        qkvw_t = jnp.pad(
+            A["qkv"]["kernel"].reshape(L, Dm, 3, H, Dh),
+            ((0, 0), (0, 0), (0, 0), (0, 0), (0, DP - Dh)),
+        )
+        qkvb_t = jnp.pad(
+            A["qkv"]["bias"].reshape(L, 3, H, 1, Dh),
+            ((0, 0), (0, 0), (0, 0), (0, 0), (0, DP - Dh)),
+        )
+        projw_t = jnp.pad(
+            A["proj"]["kernel"].reshape(L, H, Dh, Dm),
+            ((0, 0), (0, 0), (0, DP - Dh), (0, 0)),
+        )
+        # pad lanes: cos=1, sin=0 and a zero row/col in R -> identity on pads
+        cos_p = jnp.pad(cos.astype(jnp.float32), ((0, 0), (0, DP - Dh)),
+                        constant_values=1.0)
+        sin_p = jnp.pad(sin.astype(jnp.float32), ((0, 0), (0, DP - Dh)))
+        Rm = jnp.asarray(rotate_half_matrix(Dh, DP))
+        bias_arr = jnp.asarray(
+            validity_bias(layout.win_valid.sum(axis=1), wt)
+        )
+        scale = Dh ** -0.5
+
+        def rope_hsd(x):  # x: (H, S_pad, DP)
+            # activation-dtype rope (the reference's flash-attn-2 path also
+            # rotates in bf16); the Rm rotation itself is exact in any dtype
+            c = cos_p.astype(x.dtype)
+            s = sin_p.astype(x.dtype)
+            return x * c[None] + (x @ Rm.astype(x.dtype)) * s[None]
+
+        def win_kernel_block(hh, xs):
+            bp, qkvw, qkvb, projw = xs
+            x = _vit_norm(cfg, bp["norm1"], hh)
+            qkv = jnp.einsum("sd,dthe->thse", x, qkvw) + qkvb
+            q, k = rope_hsd(qkv[0]), rope_hsd(qkv[1])
+            attn = window_attention_hsd(
+                q, k, qkv[2], bias_arr, wt, scale, interp
+            )
+            hh = hh + (jnp.einsum("hse,hed->sd", attn, projw)
+                       + bp["attn"]["proj"]["bias"])
+            x = _vit_norm(cfg, bp["norm2"], hh)
+            return hh + _vit_mlp(cfg, bp["mlp"], x)
+
+        # full-attention layers reuse the SAME kernel with one frame chunk
+        # as the "window" (uniform chunks only; ragged grids fall back)
+        use_full_kernel = full_chunk > 0
+        if use_full_kernel:
+            from spacer_tpu.ops.vit_window_attention import (
+                chunk_attention_hsd,
+            )
+
+            to_compact_j = jnp.asarray(layout.win_scatter)
+
+            def full_kernel_block(hh, xs):
+                bp, qkvw, qkvb, projw = xs
+                x = _vit_norm(cfg, bp["norm1"], hh)
+                qkv = jnp.einsum("sd,dthe->thse", x, qkvw) + qkvb
+                q, k = rope_hsd(qkv[0]), rope_hsd(qkv[1])
+                q, k, v = (t[:, to_compact_j] for t in (q, k, qkv[2]))
+                attn = chunk_attention_hsd(
+                    q, k, v, full_chunk, scale, interp
+                )
+                attn = attn[:, pad_gather]
+                hh = hh + (jnp.einsum("hse,hed->sd", attn, projw)
+                           + bp["attn"]["proj"]["bias"])
+                x = _vit_norm(cfg, bp["norm2"], hh)
+                return hh + _vit_mlp(cfg, bp["mlp"], x)
+
     def win_block(hh, bp):
         return _vit_block(hh, bp, cfg=cfg, cos=cos, sin=sin,
                           attn_apply=lambda q, k, v: windowed_attn((q, k, v)))
@@ -379,6 +465,10 @@ def vit_forward(
     if remat:
         win_block = jax.checkpoint(win_block)
         full_block = jax.checkpoint(full_block)
+        if use_window_kernel:
+            win_kernel_block = jax.checkpoint(win_kernel_block)
+            if use_full_kernel:
+                full_kernel_block = jax.checkpoint(full_kernel_block)
 
     full_set = set(cfg.fullatt_block_indexes)
     runs: list[tuple[bool, int, int]] = []  # (is_full, start, stop)
@@ -398,7 +488,17 @@ def vit_forward(
         if is_full_run:
             for li in range(a, b):
                 bp = jax.tree.map(lambda x: x[li], params["blocks"])
-                h = full_block(h, bp)
+                if use_window_kernel and use_full_kernel:
+                    h = full_kernel_block(
+                        h, (bp, qkvw_t[li], qkvb_t[li], projw_t[li])
+                    )
+                else:
+                    h = full_block(h, bp)
+        elif use_window_kernel:
+            h, _ = jax.lax.scan(
+                lambda hh, xs: (win_kernel_block(hh, xs), None), h,
+                (slice_params(a, b), qkvw_t[a:b], qkvb_t[a:b], projw_t[a:b]),
+            )
         else:
             h, _ = jax.lax.scan(
                 lambda hh, bp: (win_block(hh, bp), None), h, slice_params(a, b)

@@ -9,6 +9,8 @@ float32, applied in the activation dtype.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 
@@ -23,6 +25,27 @@ def rotate_half(x):
     x1 = x[..., : x.shape[-1] // 2]
     x2 = x[..., x.shape[-1] // 2 :]
     return jnp.concatenate((-x2, x1), axis=-1)
+
+
+@functools.lru_cache(maxsize=16)
+def rotate_half_matrix(d: int, dp: int | None = None):
+    """Constant R with x @ R == rotate_half(x) for head dim d, optionally
+    embedded in dp >= d lanes (pad lanes map to 0).
+
+    Exact: every column has a single signed unit entry, so each output
+    element is +-x (adding exact zeros), in any float dtype. On TPU this
+    replaces rotate_half's lane-unaligned slice/concat (ruinous at head_dim
+    80) with a tiny MXU matmul that needs no relayouts."""
+    import numpy as np
+
+    half = d // 2
+    dp = dp or d
+    R = np.zeros((dp, dp), np.float32)
+    for j in range(half):
+        R[j + half, j] = -1.0
+    for j in range(half, d):
+        R[j - half, j] = 1.0
+    return R
 
 
 def compute_rope_cos_sin(position_ids, inv_freq):
@@ -93,10 +116,14 @@ def vision_rope_cos_sin(pos_hw, head_dim: int, theta: float = 10000.0):
 
 
 def apply_vision_rope(q, k, cos, sin):
-    """q,k: (S, H, D); cos,sin: (S, D). float32 internally (HF parity)."""
+    """q,k: (S, H, D); cos,sin: (S, D). float32 internally (HF parity).
+
+    The rotation uses the exact rotate_half_matrix matmul form (identical
+    values; no lane-unaligned slicing at the ViT's head_dim 80)."""
+    Rm = jnp.asarray(rotate_half_matrix(q.shape[-1]))
     cos = cos[:, None, :].astype(jnp.float32)
     sin = sin[:, None, :].astype(jnp.float32)
     qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-    q_out = qf * cos + rotate_half(qf) * sin
-    k_out = kf * cos + rotate_half(kf) * sin
+    q_out = qf * cos + (qf @ Rm) * sin
+    k_out = kf * cos + (kf @ Rm) * sin
     return q_out.astype(q.dtype), k_out.astype(k.dtype)

@@ -36,6 +36,31 @@ def _probe_opencv(path: str) -> tuple[int, float]:
         cap.release()
 
 
+def _clip_range(ele: dict, total_frames: int, fps: float) -> tuple[int, int]:
+    """(first_frame, n_frames) of the [video_start, video_end] second window.
+
+    Contract matches torchvision.io.read_video(start_pts, end_pts,
+    pts_unit='sec') as used by the reference (vision_process.py:206-209):
+    frame i (pts = i/fps) is included when start <= i/fps <= end, both ends
+    inclusive.
+    """
+    start = ele.get("video_start")
+    end = ele.get("video_end")
+    if start is None and end is None:
+        return 0, total_frames
+    lo = 0 if start is None else int(np.ceil(float(start) * fps - 1e-6))
+    hi = (total_frames - 1 if end is None
+          else int(np.floor(float(end) * fps + 1e-6)))
+    lo = max(0, lo)
+    hi = min(hi, total_frames - 1)
+    if hi < lo or lo >= total_frames:
+        raise ValueError(
+            f"empty clip window [{start}, {end}]s at {fps} fps "
+            f"({total_frames} frames)"
+        )
+    return lo, hi - lo + 1
+
+
 def _read_video_opencv(ele: dict) -> tuple[np.ndarray, float]:
     """Sequential decode with cheap grab-skips; returns (T, H, W, C) RGB uint8."""
     import cv2
@@ -43,11 +68,10 @@ def _read_video_opencv(ele: dict) -> tuple[np.ndarray, float]:
     path = ele["video"]
     if path.startswith("file://"):
         path = path[7:]
-    if "video_start" in ele or "video_end" in ele:
-        raise NotImplementedError("video_start/video_end not supported yet")
     total_frames, video_fps = _probe_opencv(path)
-    nframes = smart_nframes(ele, total_frames=total_frames, video_fps=video_fps)
-    idx = sample_frame_indices(total_frames, nframes)
+    first, n_clip = _clip_range(ele, total_frames, video_fps)
+    nframes = smart_nframes(ele, total_frames=n_clip, video_fps=video_fps)
+    idx = np.asarray(sample_frame_indices(n_clip, nframes)) + first
     wanted = set(idx)
     frames_by_index: dict[int, np.ndarray] = {}
     cap = cv2.VideoCapture(path)
@@ -70,7 +94,7 @@ def _read_video_opencv(ele: dict) -> tuple[np.ndarray, float]:
         raise IOError(f"decoded no frames from {path}")
     last = frames_by_index[max(frames_by_index)]
     frames = np.stack([frames_by_index.get(i, last) for i in idx])
-    sample_fps = nframes / max(total_frames, 1e-6) * video_fps
+    sample_fps = nframes / max(n_clip, 1e-6) * video_fps
     return frames, sample_fps
 
 
@@ -94,13 +118,12 @@ def _read_video_native(ele: dict) -> tuple[np.ndarray, float]:
     path = ele["video"]
     if path.startswith("file://"):
         path = path[7:]
-    if "video_start" in ele or "video_end" in ele:
-        raise NotImplementedError("video_start/video_end not supported yet")
     total_frames, video_fps = dec.probe(path)
-    nframes = smart_nframes(ele, total_frames=total_frames, video_fps=video_fps)
-    idx = sample_frame_indices(total_frames, nframes)
+    first, n_clip = _clip_range(ele, total_frames, video_fps)
+    nframes = smart_nframes(ele, total_frames=n_clip, video_fps=video_fps)
+    idx = np.asarray(sample_frame_indices(n_clip, nframes)) + first
     frames = dec.read_frames(path, idx)
-    sample_fps = nframes / max(total_frames, 1e-6) * video_fps
+    sample_fps = nframes / max(n_clip, 1e-6) * video_fps
     return frames, sample_fps
 
 

@@ -89,3 +89,43 @@ def test_reader_backend_selection(lib_path, clip, monkeypatch):
     frames, fps = reader.read_video({"video": path, "nframes": 4})
     assert frames.shape == (4, 240, 320, 3)
     reader.get_video_reader_backend.cache_clear()
+
+
+def test_video_start_end_clip_window(clip):
+    """video_start/video_end seconds clip the sampled range in BOTH backends
+    (reference contract: torchvision read_video start_pts/end_pts,
+    vision_process.py:206-209)."""
+    from spacer_tpu.vision.reader import (
+        _clip_range,
+        _read_video_native,
+        _read_video_opencv,
+    )
+
+    path, frames = clip  # 50 frames @ 25 fps = 2s; blue channel = (i*5)%256
+
+    # frames with 0.6 <= i/25 <= 1.4  ->  i in [15, 35], 21 frames
+    first, n = _clip_range(
+        {"video_start": 0.6, "video_end": 1.4}, 50, 25.0
+    )
+    assert (first, n) == (15, 21)
+
+    ele = {"video": path, "video_start": 0.6, "video_end": 1.4, "fps": 25.0}
+    out_cv, fps_cv = _read_video_opencv(dict(ele))
+    # fps=25 over a 0.84s window asks for ~21 frames -> clamped/factored
+    assert out_cv.shape[0] >= 4
+    # every sampled frame must come from inside the window
+    blues = out_cv[:, 0, 0, 2].astype(int)  # RGB: blue is channel 2
+    lo, hi = (15 * 5) % 256, (35 * 5) % 256
+    assert blues.min() >= lo - 12 and blues.max() <= hi + 12
+
+    if os.path.exists(LIB):
+        out_nat, fps_nat = _read_video_native(dict(ele))
+        assert out_nat.shape == out_cv.shape
+        assert fps_nat == pytest.approx(fps_cv)
+        np.testing.assert_array_equal(
+            out_nat[:, 0, 0, 2], out_cv[:, 0, 0, 2]
+        )
+
+    # empty window raises
+    with pytest.raises(ValueError):
+        _clip_range({"video_start": 3.0, "video_end": 3.5}, 50, 25.0)
