@@ -52,6 +52,11 @@ def load_model_and_processor(args: ModelArgs):
 
     mesh = None
     if len(jax.devices()) > 1:
-        mesh = create_mesh(tp=args.tp)
+        from spacer_tpu.parallel import mesh_shape_for
+
+        shape = mesh_shape_for(
+            len(jax.devices()), tp=args.tp, fsdp=args.fsdp
+        )
+        mesh = create_mesh(shape)
         params, _ = shard_params(params, mesh)
     return cfg, params, processor, mesh

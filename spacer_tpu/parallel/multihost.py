@@ -70,23 +70,53 @@ def global_batch_from_local(local_batch: dict, mesh, batch_axes=("data", "fsdp")
 
 
 def all_gather_objects(obj: Any) -> list[Any]:
-    """Gather an arbitrary python object from every host (reward strings,
+    """Gather an ARBITRARY python object from every host (reward strings,
     completion texts — the analogue of accelerate's gather_object,
-    vllm_grpo_trainer_modified.py:546-547)."""
+    vllm_grpo_trainer_modified.py:546-547).
+
+    multihost_utils only moves numeric arrays, so objects travel as pickled
+    uint8 buffers: allgather the sizes, pad to the max, allgather, unpickle.
+    """
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([data.size], np.int32)
+    ).reshape(-1)
+    buf = np.zeros((int(sizes.max()),), np.uint8)
+    buf[: data.size] = data
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    return [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+        for i in range(jax.process_count())
+    ]
 
 
 def broadcast_from_host0(obj: Any) -> Any:
-    """broadcast_object_list equivalent (vllm_grpo_trainer_modified.py:603)."""
+    """broadcast_object_list equivalent (vllm_grpo_trainer_modified.py:603)
+    for arbitrary python objects (two-phase: size then pickled payload)."""
     if jax.process_count() == 1:
         return obj
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(obj)
+    if jax.process_index() == 0:
+        data = np.frombuffer(pickle.dumps(obj), np.uint8)
+        size = np.asarray([data.size], np.int32)
+    else:
+        data = None
+        size = np.zeros((1,), np.int32)
+    size = np.asarray(multihost_utils.broadcast_one_to_all(size))
+    buf = np.zeros((int(size[0]),), np.uint8)
+    if jax.process_index() == 0:
+        buf[:] = data
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(buf.tobytes())
 
 
 def mean_across_hosts(value: float) -> float:

@@ -20,16 +20,30 @@ def save_train_state(path: str, params, opt_state, metadata: dict):
     return path
 
 
+def _restore_tree(ckptr, path, like):
+    """Restore with the TARGET topology's shardings taken from `like`.
+
+    Passing explicit restore args makes cross-topology resume safe (save on
+    fsdp-8, restore on 2x2x2 or a single chip): Orbax reshards to the
+    target placement instead of trusting the checkpoint's recorded
+    topology.
+    """
+    import orbax.checkpoint as ocp
+
+    restore_args = ocp.checkpoint_utils.construct_restore_args(like)
+    return ckptr.restore(path, item=like, restore_args=restore_args)
+
+
 def restore_train_state(path: str, params_like, opt_state_like):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        params = ckptr.restore(os.path.join(path, "params"),
-                               item=params_like)
+        params = _restore_tree(ckptr, os.path.join(path, "params"),
+                               params_like)
     with ocp.PyTreeCheckpointer() as ckptr:
-        opt_state = ckptr.restore(os.path.join(path, "opt_state"),
-                                  item=opt_state_like)
+        opt_state = _restore_tree(ckptr, os.path.join(path, "opt_state"),
+                                  opt_state_like)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return params, opt_state, meta
@@ -50,4 +64,7 @@ def load_model_only(path: str, params_like=None):
 
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(os.path.join(path, "params"), item=params_like)
+        if params_like is None:
+            return ckptr.restore(os.path.join(path, "params"))
+        return _restore_tree(ckptr, os.path.join(path, "params"),
+                             params_like)
