@@ -36,12 +36,14 @@ def params_from_torch_state_dict(
     """
 
     def arr(name: str) -> np.ndarray:
-        v = sd[name]
+        # values are fetched lazily (state_dict may be a streaming Mapping
+        # over safetensors shards — only .keys() is touched up front)
+        v = state_dict[keymap[name]]
         if hasattr(v, "detach"):
             v = v.detach().to("cpu").float().numpy()
         return np.asarray(v)
 
-    sd = {_normalize_key(k): v for k, v in state_dict.items()}
+    keymap = {_normalize_key(k): k for k in state_dict.keys()}
     t, v = cfg.text, cfg.vision
 
     def lin(name: str, bias: bool):
@@ -174,12 +176,26 @@ def load_params_from_hf(
     if not files:
         raise FileNotFoundError(f"no .safetensors in {checkpoint_dir}")
 
-    state: dict[str, np.ndarray] = {}
-    for fname in files:
-        with safe_open(os.path.join(checkpoint_dir, fname), framework="np") as f:
-            for k in f.keys():
-                state[k] = f.get_tensor(k)
-    params = params_from_torch_state_dict(state, cfg, dtype)
+    class _LazyShards:
+        """Mapping over all shards; tensors stream one at a time (peak host
+        memory ~= the largest stacked layer group, not the checkpoint)."""
+
+        def __init__(self):
+            self._handles = [
+                safe_open(os.path.join(checkpoint_dir, f), framework="np")
+                for f in files
+            ]
+            self._where = {
+                k: h for h in self._handles for k in h.keys()
+            }
+
+        def keys(self):
+            return self._where.keys()
+
+        def __getitem__(self, k):
+            return self._where[k].get_tensor(k)
+
+    params = params_from_torch_state_dict(_LazyShards(), cfg, dtype)
     return params, cfg
 
 
