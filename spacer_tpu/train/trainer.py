@@ -71,6 +71,11 @@ class SGRLVRConfig:
     min_pixels: int = 3136
     max_pixels: int = 401408
     prompt_bucket: int = 512
+    # keep Adam moments in pinned HOST memory between steps (the ZeRO-3
+    # CPU-offload equivalent, local_scripts/zero3_offload.json): frees
+    # 2x(param bytes) of steady-state HBM for rollout KV caches at the cost
+    # of streaming the moments across PCIe around each update
+    offload_opt_state: bool = False
     remat: bool = True
     logp_chunk: int = 256
     attn_impl: Optional[str] = None
@@ -124,6 +129,10 @@ class SGRLVRTrainer:
                 self.tx, every_k_schedule=args.gradient_accumulation_steps
             )
         self.opt_state = self.tx.init(self.params)
+        if args.offload_opt_state:
+            from spacer_tpu.parallel.offload import offload_to_host
+
+            self.opt_state = offload_to_host(self.opt_state)
         self.sampler = Sampler(
             cfg,
             eos_token_id=processor.eos_token_id,
@@ -414,11 +423,23 @@ class SGRLVRTrainer:
             "advantages": advantages.astype(np.float32)
         }))
         batch["ref_logps"] = ref_logps  # dispatched earlier, likely done
-        self.params, self.opt_state, metrics = self.step_fn(
-            self.params, self.ref_params, self.opt_state, batch,
+        opt_state = self.opt_state
+        if args.offload_opt_state:
+            from spacer_tpu.parallel.offload import to_device
+
+            opt_state = to_device(opt_state)  # async H2D for the update
+        self.params, opt_state, metrics = self.step_fn(
+            self.params, self.ref_params, opt_state, batch,
             grid_thw=grid_thw, num_generations=G, prompt_len=Pb,
             grids_per_prompt=grids_per_prompt,
         )
+        if args.offload_opt_state:
+            from spacer_tpu.parallel.offload import offload_to_host
+
+            # moments leave HBM again until the next update (async transfer;
+            # the next rollout overlaps it)
+            opt_state = offload_to_host(opt_state)
+        self.opt_state = opt_state
         t_update = time.perf_counter()
 
         # --- metrics (SG_RLVR_trainer.py:650-683 equivalents)
