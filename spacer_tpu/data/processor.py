@@ -197,9 +197,10 @@ class VLProcessor:
             pixel_images.append(px)
             image_grids.append(grid)
 
-        vid_iter = iter(video_grids)
-        img_iter = iter(image_grids)
+        vid_iter = iter(enumerate(video_grids))
+        img_iter = iter(enumerate(image_grids))
         all_ids = []
+        media_order: list[tuple[str, int]] = []  # appearance order, batchwide
         for t in text:
             ids = []
             pattern = re.escape(IMAGE_PAD) + "|" + re.escape(VIDEO_PAD)
@@ -208,13 +209,15 @@ class VLProcessor:
                 ids.extend(self.tokenizer.encode(t[pos:m.start()],
                                                  add_special_tokens=False))
                 if m.group(0) == VIDEO_PAD:
-                    g = next(vid_iter)
+                    k, g = next(vid_iter)
                     n = (g[0] * g[1] * g[2]) // (self.merge ** 2)
                     ids.extend([self.cfg.video_token_id] * n)
+                    media_order.append(("video", k))
                 else:
-                    g = next(img_iter)
+                    k, g = next(img_iter)
                     n = (g[0] * g[1] * g[2]) // (self.merge ** 2)
                     ids.extend([self.cfg.image_token_id] * n)
+                    media_order.append(("image", k))
                 pos = m.end()
             ids.extend(self.tokenizer.encode(t[pos:], add_special_tokens=False))
             all_ids.append(ids)
@@ -241,6 +244,8 @@ class VLProcessor:
         if pixel_images:
             out["pixel_values"] = np.concatenate(pixel_images, axis=0)
             out["image_grid_thw"] = np.asarray(image_grids, np.int64)
+        if media_order:
+            out["media_order"] = media_order
         return out
 
     def process_messages(self, messages_batch, add_generation_prompt=True,
@@ -274,3 +279,46 @@ class VLProcessor:
         return self(
             texts, images=images, videos=videos, fps=vkw.get("fps"),
         )
+
+
+def pack_vision_inputs(enc: dict):
+    """Processor output -> (packed pixel patches, flat grid tuple) in media
+    APPEARANCE order (the order merge_vision_embeds scatters placeholder
+    tokens in). Handles video-only, image-only and MIXED batches — the
+    reference gets this ordering implicitly from the HF processor's
+    masked_scatter contract.
+
+    Returns (None, None) when the batch has no media.
+    """
+    has_v = "video_grid_thw" in enc
+    has_i = "image_grid_thw" in enc
+    if not has_v and not has_i:
+        return None, None
+    if has_v and not has_i:
+        grids = tuple(tuple(int(x) for x in g) for g in enc["video_grid_thw"])
+        return enc["pixel_values_videos"], grids
+    if has_i and not has_v:
+        grids = tuple(tuple(int(x) for x in g) for g in enc["image_grid_thw"])
+        return enc["pixel_values"], grids
+
+    order = enc.get("media_order")
+    if order is None:
+        raise ValueError(
+            "mixed image+video batch requires media_order (VLProcessor "
+            "output) to establish the placeholder appearance order"
+        )
+    vgrids = np.asarray(enc["video_grid_thw"])
+    igrids = np.asarray(enc["image_grid_thw"])
+    voff = np.concatenate([[0], np.cumsum(vgrids.prod(axis=1))])
+    ioff = np.concatenate([[0], np.cumsum(igrids.prod(axis=1))])
+    parts, grids = [], []
+    for kind, k in order:
+        if kind == "video":
+            parts.append(
+                enc["pixel_values_videos"][voff[k] : voff[k + 1]]
+            )
+            grids.append(tuple(int(x) for x in vgrids[k]))
+        else:
+            parts.append(enc["pixel_values"][ioff[k] : ioff[k + 1]])
+            grids.append(tuple(int(x) for x in igrids[k]))
+    return np.concatenate(parts, axis=0), tuple(grids)

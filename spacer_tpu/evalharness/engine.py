@@ -53,22 +53,11 @@ class QwenEngine:
             second_per_grid_ts=enc.get("second_per_grid_ts"),
             attention_mask=enc["attention_mask"],
         )
-        # pack both modalities the way the model consumes them
-        pixel_values = None
-        grid_thw = None
-        vision_embeds = None
-        if "pixel_values_videos" in enc and "pixel_values" in enc:
-            # mixed batches: encode each modality separately and concatenate
-            # in placeholder order is not needed for the supported benchmarks
-            raise NotImplementedError("mixed image+video batch")
-        if "pixel_values_videos" in enc:
-            pixel_values = enc["pixel_values_videos"]
-            grid_thw = tuple(tuple(int(x) for x in g)
-                             for g in enc["video_grid_thw"])
-        elif "pixel_values" in enc:
-            pixel_values = enc["pixel_values"]
-            grid_thw = tuple(tuple(int(x) for x in g)
-                             for g in enc["image_grid_thw"])
+        # pack both modalities in placeholder appearance order (handles
+        # video-only, image-only and mixed batches)
+        from spacer_tpu.data.processor import pack_vision_inputs
+
+        pixel_values, grid_thw = pack_vision_inputs(enc)
 
         self._calls += 1
         out = self.sampler.generate(

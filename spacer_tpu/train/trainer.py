@@ -215,25 +215,26 @@ class SGRLVRTrainer:
             "input_ids": np.concatenate(ids),
             "attention_mask": np.concatenate(mask),
         }
+        from spacer_tpu.data.processor import pack_vision_inputs
+
         pixels, vgrids, igrids, spgt, counts, allg = [], [], [], [], [], []
         for e in encs:
-            if "video_grid_thw" in e and "image_grid_thw" in e:
-                raise NotImplementedError(
-                    "mixed image+video in one prompt is not supported"
-                )
+            # per-row pack in placeholder appearance order (mixed media ok)
+            px, grids = pack_vision_inputs(e)
             n = 0
+            if px is not None:
+                pixels.append(np.asarray(px))
+                allg.extend(grids)
+                n = len(grids)
             if "video_grid_thw" in e:
-                pixels.append(np.asarray(e["pixel_values_videos"]))
                 vgrids.append(np.asarray(e["video_grid_thw"]))
-                allg.extend(np.asarray(e["video_grid_thw"]))
-                n = len(e["video_grid_thw"])
                 ts = e.get("second_per_grid_ts")
-                spgt.extend(list(ts) if ts is not None else [1.0] * n)
-            elif "image_grid_thw" in e:
-                pixels.append(np.asarray(e["pixel_values"]))
+                spgt.extend(
+                    list(ts) if ts is not None
+                    else [1.0] * len(e["video_grid_thw"])
+                )
+            if "image_grid_thw" in e:
                 igrids.append(np.asarray(e["image_grid_thw"]))
-                allg.extend(np.asarray(e["image_grid_thw"]))
-                n = len(e["image_grid_thw"])
             counts.append(n)
         if pixels:
             out["pixel_values"] = np.concatenate(pixels).astype(np.float32)

@@ -210,12 +210,19 @@ def _to_rgb(pil_image):
 
 def fetch_image(ele: dict, size_factor: int = IMAGE_FACTOR):
     """Load + smart-resize a single image, returning a PIL.Image (parity with
-    vision_process.py:99-142; http(s) URLs are not supported — no egress)."""
+    vision_process.py:99-142, including the http(s) URL branch)."""
     from PIL import Image
 
     image = ele.get("image", ele.get("image_url"))
     if hasattr(image, "convert"):  # PIL image
         image_obj = image
+    elif isinstance(image, str) and image.startswith(("http://", "https://")):
+        # requests.get(..., stream=True).raw equivalent
+        # (vision_process.py:108-110) via stdlib
+        import urllib.request
+
+        with urllib.request.urlopen(image, timeout=30) as resp:
+            image_obj = Image.open(BytesIO(resp.read()))
     elif isinstance(image, str) and image.startswith("file://"):
         image_obj = Image.open(image[7:])
     elif isinstance(image, str) and image.startswith("data:image"):

@@ -100,3 +100,44 @@ def test_preprocess_frames_resize_close_to_hf():
     err = np.abs(ours - hf_pixels)
     assert np.quantile(err, 0.99) < 0.08, np.quantile(err, 0.99)
     assert err.mean() < 0.02, err.mean()
+
+
+def test_fetch_image_http_url():
+    """http(s) URL branch (vision_process.py:108-110) against a local
+    server — no external egress needed."""
+    import http.server
+    import threading
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    from spacer_tpu.vision.process import fetch_image
+
+    img = Image.fromarray(
+        np.random.default_rng(3).integers(0, 255, (56, 84, 3), np.uint8)
+    )
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/img.png"
+        out = fetch_image({"image": url})
+        ref = fetch_image({"image": img})
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    finally:
+        srv.shutdown()
