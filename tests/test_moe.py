@@ -1,0 +1,108 @@
+"""MoE op parity vs the HF torch AriaTextMoELayer and internal consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spacer_tpu.ops.moe import init_moe_params, moe_mlp, route_topk
+
+
+def _torch_moe_layer(hidden, intermediate, num_experts, topk, num_shared):
+    import torch
+    from transformers.models.aria.configuration_aria import AriaTextConfig
+    from transformers.models.aria.modeling_aria import AriaTextMoELayer
+
+    cfg = AriaTextConfig(
+        hidden_size=hidden,
+        intermediate_size=intermediate,
+        moe_num_experts=num_experts,
+        moe_topk=topk,
+        moe_num_shared_experts=num_shared,
+    )
+    torch.manual_seed(0)
+    layer = AriaTextMoELayer(cfg)
+    layer.eval()
+    return layer
+
+
+def _params_from_torch(layer):
+    """Copy torch MoE weights into the JAX param layout."""
+
+    def t(x):
+        return jnp.asarray(x.detach().numpy())
+
+    return {
+        "router": {"kernel": t(layer.router.weight).T},
+        "experts": {
+            # AriaGroupedExpertsGemm stores (E, in, out) already
+            "fc1": {"kernel": t(layer.experts.fc1.weight)},
+            "fc2": {"kernel": t(layer.experts.fc2.weight)},
+        },
+        "shared": {
+            "gate_proj": {"kernel": t(layer.shared_experts.gate_proj.weight).T},
+            "up_proj": {"kernel": t(layer.shared_experts.up_proj.weight).T},
+            "down_proj": {"kernel": t(layer.shared_experts.down_proj.weight).T},
+        },
+    }
+
+
+@pytest.mark.parametrize("impl", ["ragged", "dense"])
+def test_moe_matches_torch(impl):
+    import torch
+
+    H, I, E, K, S = 16, 24, 8, 2, 2
+    layer = _torch_moe_layer(H, I, E, K, S)
+    # non-trivial router weights (default init is ~0 -> degenerate routing)
+    with torch.no_grad():
+        layer.router.weight.normal_(0, 0.5)
+    params = _params_from_torch(layer)
+
+    x = np.random.RandomState(1).randn(3, 7, H).astype(np.float32)
+    ref = layer(torch.from_numpy(x)).detach().numpy()
+    got = np.asarray(moe_mlp(params, jnp.asarray(x), topk=K, impl=impl))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_ragged_matches_dense():
+    key = jax.random.key(0)
+    params = init_moe_params(key, 32, 16, 8, 2)
+    x = jax.random.normal(jax.random.key(1), (5, 9, 32))
+    a = moe_mlp(params, x, topk=3, impl="ragged")
+    b = moe_mlp(params, x, topk=3, impl="dense")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_route_topk_scores_sum_to_one():
+    params = init_moe_params(jax.random.key(0), 8, 4, 16, 1)
+    x = jax.random.normal(jax.random.key(2), (11, 8))
+    scores, idx = route_topk(params["router"]["kernel"], x, 4)
+    np.testing.assert_allclose(np.asarray(scores.sum(-1)), 1.0, rtol=1e-5)
+    assert int(idx.max()) < 16 and int(idx.min()) >= 0
+    # indices unique per row
+    for row in np.asarray(idx):
+        assert len(set(row.tolist())) == 4
+
+
+def test_moe_grads_flow():
+    params = init_moe_params(jax.random.key(0), 16, 8, 4, 2)
+    x = jax.random.normal(jax.random.key(3), (4, 6, 16))
+
+    def loss(p):
+        return jnp.sum(moe_mlp(p, x, topk=2) ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # routed experts and router both receive gradient
+    assert float(jnp.abs(grads["router"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(grads["experts"]["fc1"]["kernel"]).sum()) > 0
+
+
+def test_moe_jit_stable_shapes():
+    params = init_moe_params(jax.random.key(0), 16, 8, 4, 1)
+    f = jax.jit(lambda p, x: moe_mlp(p, x, topk=2))
+    x = jax.random.normal(jax.random.key(4), (2, 5, 16))
+    y1 = f(params, x)
+    y2 = f(params, x * 2)
+    assert y1.shape == x.shape and y2.shape == x.shape
