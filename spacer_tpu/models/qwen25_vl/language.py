@@ -1,4 +1,4 @@
-"""Qwen2.5 language model (M-RoPE, GQA) as a functional JAX program.
+"""Decoder language model (M-RoPE, GQA) as a functional JAX program.
 
 Behavioral reference: transformers modeling_qwen2_5_vl.py:491-927 (rotary at
 :491, attention at :590, decoder layer at :684, text model at :769).  Layer
@@ -8,6 +8,14 @@ jax.checkpoint rematerialization for memory.
 
 KV cache layout: {"k": (L, B, T, Hkv, Dh), "v": ...} preallocated at T =
 max length; decode writes at `cache_index` via dynamic_update_slice.
+
+This module is the shared decoder engine for every model family in the
+repo: plain 1D RoPE (Aria/Llama-style) is M-RoPE with all three position
+rows equal and mrope_section = (head_dim//2, 0, 0), and a Mixture-of-
+Experts feed-forward (Aria, modeling_aria.py AriaTextDecoderLayer:568-608)
+slots in through `_mlp_block` when cfg.moe_topk > 0.  Keeping one engine
+means the shared-prefix grouped decode and the train-step paths serve all
+families.
 """
 
 from __future__ import annotations
@@ -67,6 +75,17 @@ def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def _mlp_block(p_mlp, x, cfg: TextConfig):
+    """Feed-forward dispatch: SwiGLU (Qwen) or MoE (Aria, cfg.moe_topk>0)."""
+    if getattr(cfg, "moe_topk", 0):
+        from spacer_tpu.ops.moe import moe_mlp
+
+        return moe_mlp(p_mlp, x, topk=cfg.moe_topk)
+    gate = jax.nn.silu(dense(p_mlp["gate_proj"], x))
+    up = dense(p_mlp["up_proj"], x)
+    return dense(p_mlp["down_proj"], gate * up)
+
+
 def _layer(
     h, layer_params, cache_kv, *, cfg: TextConfig, cos, sin, kv_mask,
     causal, cache_index, attn_impl,
@@ -99,10 +118,7 @@ def _layer(
     h = h + dense(p_attn["o_proj"], attn.reshape(B, S, H * Dh))
 
     x = rms_norm(layer_params["post_attention_layernorm"], h, cfg.rms_norm_eps)
-    p_mlp = layer_params["mlp"]
-    gate = jax.nn.silu(dense(p_mlp["gate_proj"], x))
-    up = dense(p_mlp["up_proj"], x)
-    h = h + dense(p_mlp["down_proj"], gate * up)
+    h = h + _mlp_block(layer_params["mlp"], x, cfg)
     return h, new_cache
 
 
@@ -170,10 +186,7 @@ def _decode_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
     h = h + dense(p_attn["o_proj"], out.reshape(N, 1, H * Dh))
 
     x = rms_norm(layer_params["post_attention_layernorm"], h, cfg.rms_norm_eps)
-    p_mlp = layer_params["mlp"]
-    gate = jax.nn.silu(dense(p_mlp["gate_proj"], x))
-    up = dense(p_mlp["up_proj"], x)
-    h = h + dense(p_mlp["down_proj"], gate * up)
+    h = h + _mlp_block(layer_params["mlp"], x, cfg)
     return h, (tk, tv)
 
 
