@@ -192,3 +192,114 @@ def test_init_params_structure_matches_torch_layout(tiny_text):
     assert ts == ms
     for a, b in zip(jax.tree.leaves(torch_params), jax.tree.leaves(mine)):
         assert a.shape == b.shape, (a.shape, b.shape)
+
+
+# ---------------------------------------------------------------------------
+# Full multimodal model parity (vision tower + projector + scatter + LM)
+# ---------------------------------------------------------------------------
+
+
+def _hf_full_config(cfg):
+    from transformers import AriaConfig as HFAriaConfig
+
+    v = cfg.vision
+    return HFAriaConfig(
+        text_config=_hf_text_config(cfg),
+        vision_config=dict(
+            hidden_size=v.hidden_size,
+            intermediate_size=v.intermediate_size,
+            num_hidden_layers=v.num_layers,
+            num_attention_heads=v.num_heads,
+            num_channels=v.num_channels,
+            patch_size=v.patch_size,
+            image_size=v.image_size,
+            layer_norm_eps=v.layer_norm_eps,
+        ),
+        image_token_index=cfg.image_token_id,
+        projector_patch_to_query_dict={
+            k: q for k, q in cfg.projector_patch_to_query},
+        pad_token_id=cfg.pad_token_id,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_full():
+    from transformers import AriaForConditionalGeneration
+
+    from spacer_tpu.models.aria.loading import params_from_torch_state_dict
+
+    cfg = tiny_aria_config()
+    torch.manual_seed(1)
+    hf = AriaForConditionalGeneration(_hf_full_config(cfg)).eval()
+    with torch.no_grad():
+        for l in hf.model.language_model.layers:
+            l.mlp.router.weight.normal_(0, 0.5)
+        hf.model.multi_modal_projector.query.normal_(0, 0.5)
+    params = params_from_torch_state_dict(hf.state_dict(), cfg)
+    return cfg, hf, params
+
+
+def _ids_with_image_tokens(cfg, rng, S, n_img):
+    ids = rng.randint(10, cfg.text.vocab_size, size=(1, S))
+    ids[0, 2:2 + n_img] = cfg.image_token_id
+    return ids
+
+
+def test_full_model_parity_with_image(tiny_full):
+    from spacer_tpu.models.aria.model import forward
+    from spacer_tpu.models.aria.vision import vision_position_ids
+
+    cfg, hf, params = tiny_full
+    v = cfg.vision
+    rng = np.random.RandomState(3)
+    # one full-size image crop: 56x56 -> 4x4 patches -> 8 queries
+    pix = rng.randn(1, v.num_channels, v.image_size, v.image_size
+                    ).astype(np.float32)
+    ids = _ids_with_image_tokens(cfg, rng, S=16, n_img=8)
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids),
+                 pixel_values=torch.from_numpy(pix)).logits.numpy()
+
+    side = v.image_size // v.patch_size
+    pos_ids = vision_position_ids(side, side, v)[None]
+    got, _ = forward(
+        params, cfg, jnp.asarray(ids),
+        pixel_values=jnp.asarray(pix.transpose(0, 2, 3, 1)),
+        pixel_position_ids=jnp.asarray(pos_ids),
+        patch_mask=jnp.ones((1, side * side), bool),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=6e-4, atol=6e-4)
+
+
+def test_full_model_parity_with_pixel_mask(tiny_full):
+    """Partial image (42x56 valid in a 56x56 canvas): NaViT bucketed
+    positions + attention masking must match HF end to end."""
+    from spacer_tpu.models.aria.model import forward
+    from spacer_tpu.models.aria.vision import vision_position_ids
+
+    cfg, hf, params = tiny_full
+    v = cfg.vision
+    rng = np.random.RandomState(4)
+    pix = rng.randn(1, v.num_channels, v.image_size, v.image_size
+                    ).astype(np.float32)
+    pixel_mask = np.zeros((1, v.image_size, v.image_size), np.int64)
+    pixel_mask[:, :42, :] = 1  # 3x4 valid patch grid
+    ids = _ids_with_image_tokens(cfg, rng, S=16, n_img=8)
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids),
+                 pixel_values=torch.from_numpy(pix),
+                 pixel_mask=torch.from_numpy(pixel_mask)).logits.numpy()
+
+    side = v.image_size // v.patch_size
+    pos_ids = vision_position_ids(3, 4, v, max_h=side, max_w=side)[None]
+    patch_mask = np.zeros((1, side, side), bool)
+    patch_mask[:, :3, :4] = True
+    got, _ = forward(
+        params, cfg, jnp.asarray(ids),
+        pixel_values=jnp.asarray(pix.transpose(0, 2, 3, 1)),
+        pixel_position_ids=jnp.asarray(pos_ids),
+        patch_mask=jnp.asarray(patch_mask.reshape(1, -1)),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=6e-4, atol=6e-4)
