@@ -34,6 +34,12 @@ class AriaTextConfig:
     moe_num_experts: int = 64
     moe_topk: int = 6
     moe_num_shared_experts: int = 2
+    # "ragged": dropless grouped GEMM (weights ZeRO-gathered on use);
+    # "ep": expert-parallel capacity dispatch (weights stay put, tokens
+    # all-to-all over moe_ep_axis); None: env/default.
+    moe_impl: str | None = None
+    moe_capacity_factor: float = 2.0
+    moe_ep_axis: str | tuple = "fsdp"
 
     @property
     def head_dim(self) -> int:

@@ -80,7 +80,12 @@ def _mlp_block(p_mlp, x, cfg: TextConfig):
     if getattr(cfg, "moe_topk", 0):
         from spacer_tpu.ops.moe import moe_mlp
 
-        return moe_mlp(p_mlp, x, topk=cfg.moe_topk)
+        return moe_mlp(
+            p_mlp, x, topk=cfg.moe_topk,
+            impl=getattr(cfg, "moe_impl", None),
+            capacity_factor=getattr(cfg, "moe_capacity_factor", 2.0),
+            ep_axis=getattr(cfg, "moe_ep_axis", "fsdp"),
+        )
     gate = jax.nn.silu(dense(p_mlp["gate_proj"], x))
     up = dense(p_mlp["up_proj"], x)
     return dense(p_mlp["down_proj"], gate * up)

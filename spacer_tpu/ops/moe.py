@@ -32,6 +32,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = Any
 
@@ -113,16 +114,23 @@ def expert_ffn_dense(fc1_kernel, fc2_kernel, tokens, one_hot):
     return jnp.einsum("emd,me->md", out, one_hot.astype(jnp.float32))
 
 
-def moe_mlp(params: Params, x, *, topk: int, impl: str | None = None):
-    """Dropless MoE feed-forward.  x: (..., D) -> (..., D).
+def moe_mlp(params: Params, x, *, topk: int, impl: str | None = None,
+            capacity_factor: float = 2.0, ep_axis="fsdp"):
+    """MoE feed-forward.  x: (..., D) -> (..., D).
 
     Matches AriaTextMoELayer.forward end to end: top-k softmax routing,
     per-token weighted combine of expert outputs, plus the shared-experts
     SwiGLU on the raw input.
+
+    impl: "ragged" (dropless grouped GEMM, default) | "dense" (oracle) |
+    "ep" (expert-parallel capacity dispatch, see moe_mlp_ep).
     """
     import os
 
     impl = impl or os.environ.get("SPACER_MOE_IMPL") or "ragged"
+    if impl == "ep":
+        return moe_mlp_ep(params, x, topk=topk,
+                          capacity_factor=capacity_factor, ep_axis=ep_axis)
     orig_shape = x.shape
     D = orig_shape[-1]
     xt = x.reshape(-1, D)
@@ -162,3 +170,91 @@ def shared_expert_mlp(params: Params, x):
     gate = jax.nn.silu(jnp.dot(x, params["gate_proj"]["kernel"]))
     up = jnp.dot(x, params["up_proj"]["kernel"])
     return jnp.dot(gate * up, params["down_proj"]["kernel"])
+
+
+# ---------------------------------------------------------------------------
+# Expert-parallel path (GShard-style capacity dispatch under GSPMD)
+# ---------------------------------------------------------------------------
+
+
+def _constraint(x, spec):
+    """Apply a sharding constraint when running under a mesh; no-op
+    otherwise (single-device tests, plain jit)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or not mesh.shape_tuple:
+            return x
+        names = {n for axes in spec for n in (
+            (axes,) if isinstance(axes, str) else tuple(axes or ()))}
+        if not names.issubset(set(mesh.axis_names)):
+            return x
+        return jax.lax.with_sharding_constraint(x, spec)
+    except Exception:
+        return x
+
+
+def moe_capacity(num_tokens: int, topk: int, num_experts: int,
+                 capacity_factor: float) -> int:
+    """Per-expert row budget: cf * perfectly-balanced load, lane-rounded."""
+    per_expert = num_tokens * topk / num_experts
+    c = int(np.ceil(per_expert * capacity_factor))
+    return max(8, min(num_tokens * topk, -(-c // 8) * 8))
+
+
+def moe_mlp_ep(params: Params, x, *, topk: int,
+               capacity_factor: float = 2.0, ep_axis="fsdp"):
+    """Expert-parallel MoE feed-forward (GShard dispatch-einsum pattern).
+
+    Unlike `moe_mlp` (dropless local compute with ZeRO-gathered weights),
+    this formulation keeps each expert's weights resident on its owner
+    device and moves TOKENS over ICI: one-hot dispatch tensors route every
+    (token, k) assignment into a per-expert capacity buffer, XLA's SPMD
+    partitioner turns the dispatch/combine einsums into all-to-alls over
+    `ep_axis`, and the grouped SwiGLU runs as two batched matmuls sharded
+    on the expert axis.  Token assignments beyond `capacity_factor` x the
+    balanced load are DROPPED (only the shared-experts output remains) —
+    the standard capacity trade; tests use ample capacity for exactness.
+
+    Routing math is identical to moe_mlp (modeling_aria.py:385-388).
+    """
+    orig_shape = x.shape
+    D = orig_shape[-1]
+    xt = x.reshape(-1, D)
+    T = xt.shape[0]
+    E = params["router"]["kernel"].shape[-1]
+    K = topk
+    C = moe_capacity(T, K, E, capacity_factor)
+
+    scores, top_idx = route_topk(params["router"]["kernel"], xt, K)
+
+    flat_e = top_idx.reshape(-1)                              # (T*K,)
+    assign_oh = jax.nn.one_hot(flat_e, E, dtype=jnp.float32)  # (T*K, E)
+    # position of each assignment within its expert, in flat order
+    pos = jnp.cumsum(assign_oh, axis=0) - 1.0                 # (T*K, E)
+    pos = jnp.sum(pos * assign_oh, axis=-1)                   # (T*K,)
+    keep = pos < C
+    pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), C,
+                            dtype=x.dtype)                    # (T*K, C)
+    dispatch = (assign_oh.astype(x.dtype) * keep[:, None].astype(x.dtype)
+                )[:, :, None] * pos_oh[:, None, :]            # (T*K, E, C)
+
+    x_rep = jnp.repeat(xt, K, axis=0)                         # (T*K, D)
+    xe = jnp.einsum("kec,kd->ecd", dispatch, x_rep)           # (E, C, D)
+    xe = _constraint(xe, jax.sharding.PartitionSpec(ep_axis, None, None))
+
+    fc1 = params["experts"]["fc1"]["kernel"].astype(xe.dtype)  # (E, D, 2I)
+    fc2 = params["experts"]["fc2"]["kernel"].astype(xe.dtype)  # (E, I, D)
+    h = jnp.einsum("ecd,edi->eci", xe, fc1,
+                   preferred_element_type=jnp.float32)
+    proj, gate = jnp.split(h, 2, axis=-1)
+    h = (jax.nn.silu(proj) * gate).astype(xe.dtype)
+    h = _constraint(h, jax.sharding.PartitionSpec(ep_axis, None, None))
+    ye = jnp.einsum("eci,eid->ecd", h, fc2,
+                    preferred_element_type=jnp.float32)       # (E, C, D)
+
+    y_assign = jnp.einsum("kec,ecd->kd", dispatch.astype(jnp.float32), ye)
+    combined = (y_assign.reshape(T, K, D) * scores[..., None]).sum(axis=1)
+
+    shared = shared_expert_mlp(params["shared"], xt)
+    out = combined.astype(x.dtype) + shared
+    return out.reshape(orig_shape)

@@ -9,6 +9,7 @@ over 'data' x 'fsdp'.
 
 from spacer_tpu.parallel.mesh import create_mesh, mesh_shape_for
 from spacer_tpu.parallel.partition import (
+    ARIA_PARTITION_RULES,
     QWEN_PARTITION_RULES,
     batch_spec,
     partition_spec_tree,
@@ -18,5 +19,6 @@ from spacer_tpu.parallel.partition import (
 
 __all__ = [
     "create_mesh", "mesh_shape_for", "QWEN_PARTITION_RULES",
+    "ARIA_PARTITION_RULES",
     "partition_spec_tree", "shard_params", "batch_spec", "place_batch",
 ]

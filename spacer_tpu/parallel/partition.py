@@ -54,6 +54,43 @@ QWEN_PARTITION_RULES: list[tuple[str, P]] = [
 ]
 
 
+# Rules for the Aria MoE pytree.  LM attention paths match the Qwen layout
+# (shared decoder engine); the MoE feed-forward shards its EXPERT axis over
+# fsdp — under the default dropless impl XLA all-gathers a layer's expert
+# weights on use (ZeRO-3), under moe_impl="ep" the same placement keeps each
+# expert resident and the dispatch einsums become all-to-alls.  The expert
+# matrices' inner dims shard over tp.
+ARIA_PARTITION_RULES: list[tuple[str, P]] = [
+    # MoE: router replicated (tiny), experts (L, E, in, out)
+    (r"model/layers/mlp/router/kernel", P(None, None, None)),
+    (r"model/layers/mlp/experts/fc1/kernel", P(None, "fsdp", None, "tp")),
+    (r"model/layers/mlp/experts/fc2/kernel", P(None, "fsdp", "tp", None)),
+    (r"model/layers/mlp/shared/(gate|up)_proj/kernel", P(None, "fsdp", "tp")),
+    (r"model/layers/mlp/shared/down_proj/kernel", P(None, "tp", "fsdp")),
+    # LM attention / norms / embeddings: same geometry as Qwen
+    (r"model/layers/self_attn/(q|k|v)_proj/kernel", P(None, "fsdp", "tp")),
+    (r"model/layers/self_attn/o_proj/kernel", P(None, "tp", "fsdp")),
+    (r"model/layers/self_attn/(q|k|v)_proj/bias", P(None, "tp")),
+    (r"model/layers/.*layernorm/scale", P(None, None)),
+    (r"model/embed_tokens/embedding", P("tp", "fsdp")),
+    (r"model/lm_head/kernel", P("fsdp", "tp")),
+    (r"model/norm/scale", P()),
+    # Idefics3/SigLIP tower: stacked (L, in, out) kernels
+    (r"visual/encoder/self_attn/(q|k|v)_proj/kernel", P(None, "fsdp", "tp")),
+    (r"visual/encoder/self_attn/(q|k|v)_proj/bias", P(None, "tp")),
+    (r"visual/encoder/self_attn/out_proj/kernel", P(None, "tp", "fsdp")),
+    (r"visual/encoder/mlp/fc1/kernel", P(None, "fsdp", "tp")),
+    (r"visual/encoder/mlp/fc1/bias", P(None, "tp")),
+    (r"visual/encoder/mlp/fc2/kernel", P(None, "tp", "fsdp")),
+    (r"visual/embeddings/patch_embedding/kernel", P("fsdp", "tp")),
+    (r"visual/embeddings/position_embedding/embedding", P(None, "fsdp")),
+    # projector: small, replicate
+    (r"projector/.*", P()),
+    # fallback: replicate
+    (r".*", P()),
+]
+
+
 def _path_str(path) -> str:
     parts = []
     for p in path:
