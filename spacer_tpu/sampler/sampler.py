@@ -188,12 +188,19 @@ def completion_mask_from_ids(completion_ids: np.ndarray, eos_token_id: int
 
 
 class Sampler:
-    """Convenience wrapper owning padding/bucketing around _generate_jit."""
+    """Convenience wrapper owning padding/bucketing around _generate_jit.
 
-    def __init__(self, cfg: Qwen25VLConfig, eos_token_id: int | None = None,
+    Family-agnostic: the decode engine is shared across model families
+    (models/qwen25_vl/language.py); family-specific vision encode/merge
+    goes through the models.registry adapter resolved from cfg's type."""
+
+    def __init__(self, cfg, eos_token_id: int | None = None,
                  pad_token_id: int | None = None, attn_impl: str | None = None,
                  length_bucket: int = 128):
+        from spacer_tpu.models.registry import family_for_config
+
         self.cfg = cfg
+        self.family = family_for_config(cfg)
         self.eos_token_id = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         self.pad_token_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
         self.attn_impl = attn_impl
@@ -213,6 +220,7 @@ class Sampler:
         deltas: np.ndarray,             # (B, 1) mrope position deltas
         pixel_values: np.ndarray | None = None,
         grid_thw=None,
+        vision_kwargs: dict | None = None,   # family-generic alternative
         vision_embeds=None,
         num_generations: int = 1,
         max_new_tokens: int = 1024,
@@ -240,17 +248,23 @@ class Sampler:
             deltas = np.asarray(deltas) - pad
 
         from spacer_tpu.nn.core import embed
-        from spacer_tpu.models.qwen25_vl.model import merge_vision_embeds
 
         ids = jnp.asarray(input_ids)
         token_embeds = embed(params["model"]["embed_tokens"], ids)
         if vision_embeds is None and pixel_values is not None:
+            # legacy qwen-shaped call (packed patches + static grids)
             vision_embeds = encode_vision(
                 params, cfg, jnp.asarray(pixel_values), grid_thw,
                 attn_impl=self.attn_impl,
             )
+        elif vision_embeds is None and vision_kwargs is not None:
+            vision_embeds = self.family.encode_vision(
+                params, cfg, vision_kwargs, grid_thw,
+                attn_impl=self.attn_impl,
+            )
         if vision_embeds is not None:
-            token_embeds = merge_vision_embeds(cfg, ids, token_embeds, vision_embeds)
+            token_embeds = self.family.merge_vision_embeds(
+                cfg, ids, token_embeds, vision_embeds)
 
         rng = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
         tokens = _generate_jit(
