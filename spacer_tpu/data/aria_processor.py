@@ -103,10 +103,10 @@ def preprocess_aria_image(
 
     Mirrors AriaImageProcessor.preprocess: per crop, keep-ratio resize to
     max_image_size on the long side, zero-pad bottom/right to a square,
-    rescale 1/255 and normalize mean/std 0.5.
+    rescale 1/255 and normalize mean/std 0.5.  (The 490/980 restriction is
+    enforced at the AriaProcessor level via its size_conversion map, which
+    — like HF's constructor arg — tests may override for tiny geometries.)
     """
-    if max_image_size not in SIZE_CONVERSION:
-        raise ValueError("max_image_size must be 490 or 980")
     img = np.asarray(image)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
@@ -226,12 +226,21 @@ class AriaProcessor:
 
     def __init__(self, tokenizer, cfg: AriaConfig | None = None,
                  max_image_size: int = 980, min_image_size: int = 336,
-                 split_image: bool = False):
+                 split_image: bool = False,
+                 size_conversion: dict[int, int] | None = None):
         self.tokenizer = tokenizer
         self.cfg = cfg or AriaConfig()
         self.max_image_size = max_image_size
         self.min_image_size = min_image_size
         self.split_image = split_image
+        self.size_conversion = (
+            dict(size_conversion) if size_conversion else dict(SIZE_CONVERSION)
+        )
+        if max_image_size not in self.size_conversion:
+            raise ValueError(
+                f"max_image_size {max_image_size} not in size_conversion "
+                f"{sorted(self.size_conversion)}"
+            )
 
     @property
     def eos_token_id(self):
@@ -266,7 +275,7 @@ class AriaProcessor:
             # HF quirk kept for parity (processing_aria.py:126-133): EVERY
             # image token expands by the batch-MAX crop count.
             num_crops = max(crops)
-            tokens_per_image = SIZE_CONVERSION[self.max_image_size]
+            tokens_per_image = self.size_conversion[self.max_image_size]
             expand = IMG_TOKEN * (num_crops * tokens_per_image)
             text = [t.replace(IMG_TOKEN, expand) for t in text]
             pixel_values = np.concatenate(pixel_list, axis=0)

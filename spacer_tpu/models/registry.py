@@ -33,6 +33,10 @@ class ModelFamily:
     # (params, cfg, vision_kwargs, static_aux, **kw) -> (N, D) embeddings
     encode_vision: Callable[..., Any]
     merge_vision_embeds: Callable[..., Any]
+    # (ve, cfg, static_aux, num_generations, media_per_prompt) -> tiled ve
+    tile_vision_embeds: Callable[..., Any]
+    # batch keys that carry vision arrays into the jitted train step
+    vision_batch_keys: tuple = ("pixel_values",)
 
 
 def _qwen_positions(cfg, input_ids, attention_mask, enc):
@@ -95,11 +99,32 @@ def _aria_encode_vision(params, cfg, vision_kwargs, static_aux, **kw):
     from spacer_tpu.models.aria.model import encode_vision
 
     kw.pop("attn_impl", None)  # tower dispatches internally
+    pos = vision_kwargs.get("position_ids")
+    if pos is None:
+        pos = vision_kwargs["pixel_position_ids"]
     return encode_vision(
         params, cfg, jnp.asarray(vision_kwargs["pixel_values"]),
-        jnp.asarray(vision_kwargs["position_ids"]),
+        jnp.asarray(pos),
         patch_mask=jnp.asarray(vision_kwargs["patch_mask"]), **kw,
     )
+
+
+def _aria_tile_vision_embeds(ve, cfg, static_aux, num_generations,
+                             media_per_prompt=None):
+    """Broadcast per-prompt projector embeddings across G completions.
+
+    ve: (total_crops * Q, D); every crop contributes the same static Q
+    queries, so per-prompt counts are crops_p * Q."""
+    if media_per_prompt is None or len(media_per_prompt) <= 1:
+        return jnp.tile(ve, (num_generations, 1))
+    total_crops = sum(media_per_prompt)
+    q = ve.shape[0] // total_crops
+    parts, off = [], 0
+    for n_crops in media_per_prompt:
+        n = n_crops * q
+        parts.append(jnp.tile(ve[off: off + n], (num_generations, 1)))
+        off += n
+    return jnp.concatenate(parts, axis=0)
 
 
 def _make_qwen_family():
@@ -108,6 +133,13 @@ def _make_qwen_family():
         Qwen25VLConfig, init_params, load_params_from_hf, tiny_config,
     )
     from spacer_tpu.models.qwen25_vl.model import merge_vision_embeds
+
+    def _tile(ve, cfg, static_aux, num_generations, media_per_prompt=None):
+        from spacer_tpu.train.step import tile_vision_embeds
+
+        return tile_vision_embeds(ve, cfg, static_aux, num_generations,
+                                  media_per_prompt)
+
     from spacer_tpu.parallel import QWEN_PARTITION_RULES
 
     return ModelFamily(
@@ -122,6 +154,8 @@ def _make_qwen_family():
         pack_vision=_qwen_pack_vision,
         encode_vision=_qwen_encode_vision,
         merge_vision_embeds=merge_vision_embeds,
+        tile_vision_embeds=_tile,
+        vision_batch_keys=("pixel_values",),
     )
 
 
@@ -145,6 +179,9 @@ def _make_aria_family():
         pack_vision=_aria_pack_vision,
         encode_vision=_aria_encode_vision,
         merge_vision_embeds=merge_vision_embeds,
+        tile_vision_embeds=_aria_tile_vision_embeds,
+        vision_batch_keys=("pixel_values", "pixel_position_ids",
+                           "patch_mask"),
     )
 
 

@@ -164,8 +164,10 @@ def batch_spec(mesh) -> P:
 # batch keys whose SECOND dim is the batch dimension (e.g. rope position_ids
 # are (3, N, S)); everything else shards dim 0.
 _BATCH_DIM1_KEYS = frozenset({"position_ids"})
-# keys shared by the whole batch (packed patch tokens, not per-row)
-_REPLICATED_KEYS = frozenset({"pixel_values"})
+# keys shared by the whole batch (packed patch/crop tokens, not per-row)
+_REPLICATED_KEYS = frozenset(
+    {"pixel_values", "patch_mask", "pixel_position_ids"}
+)
 
 
 def place_batch(batch: dict, mesh):

@@ -23,6 +23,7 @@ from spacer_tpu.models.qwen25_vl.model import (
     lm_forward,
     merge_vision_embeds,
 )
+from spacer_tpu.models.registry import family_for_config
 from spacer_tpu.nn.core import embed
 from spacer_tpu.train.grpo import chunked_per_token_logps, grpo_loss
 
@@ -56,15 +57,14 @@ def tile_vision_embeds(ve, cfg: Qwen25VLConfig, grid_thw, num_generations: int,
 
 
 def _completion_logps(
-    params, cfg: Qwen25VLConfig, input_ids, position_ids, kv_mask,
+    params, cfg, input_ids, position_ids, kv_mask,
     prompt_len: int, vision_embeds=None, remat: bool = False,
-    attn_impl=None, logp_chunk: int = 256,
+    attn_impl=None, logp_chunk: int = 256, merge_fn=merge_vision_embeds,
 ):
     """Per-token logps of the completion part. input_ids: (N, P+C)."""
     token_embeds = embed(params["model"]["embed_tokens"], input_ids)
     if vision_embeds is not None:
-        token_embeds = merge_vision_embeds(cfg, input_ids, token_embeds,
-                                           vision_embeds)
+        token_embeds = merge_fn(cfg, input_ids, token_embeds, vision_embeds)
     hidden, _ = lm_forward(
         params["model"], cfg.text, input_embeds=token_embeds,
         position_ids=position_ids, kv_mask=kv_mask, logits=False,
@@ -78,7 +78,7 @@ def _completion_logps(
 
 
 def make_grpo_train_step(
-    cfg: Qwen25VLConfig,
+    cfg,
     tx,
     *,
     beta: float = 0.04,
@@ -92,7 +92,9 @@ def make_grpo_train_step(
     num_generations, prompt_len) -> (params, opt_state, metrics).
 
     `prompt_len` is static (one compiled program per length bucket); it may
-    be bound here or passed per call.
+    be bound here or passed per call.  Family-agnostic: cfg may be a
+    Qwen25VLConfig or AriaConfig; vision encode/tile/merge dispatch through
+    models.registry.
 
     batch dict:
       input_ids       (N, P+C) prompt+completion, left-padded prompt
@@ -100,25 +102,35 @@ def make_grpo_train_step(
       position_ids    (3, N, P+C)
       completion_mask (N, C)
       advantages      (N,)
-      pixel_values    (S_patch, patch_dim) or None (then vision_embeds)
-      grid_thw        static tuple of (t, h, w), or None for text-only
+      vision arrays   family.vision_batch_keys (e.g. pixel_values), optional
+      grid_thw        static aux for vision encode (qwen grids; None = aria)
       num_generations int: tile factor for shared vision embeds
     """
     bound_prompt_len = prompt_len
+    family = family_for_config(cfg)
+
+    def _vision_embeds(params, batch, grid_thw, num_generations,
+                       grids_per_prompt):
+        has_vision = any(k in batch for k in family.vision_batch_keys)
+        if not (has_vision and encode_vision_in_step):
+            return None
+        vk = {k: batch[k] for k in family.vision_batch_keys if k in batch}
+        ve = family.encode_vision(params, cfg, vk, grid_thw,
+                                  remat=remat, attn_impl=attn_impl)
+        return family.tile_vision_embeds(
+            ve, cfg, grid_thw, num_generations, grids_per_prompt
+        )
 
     def loss_fn(params, ref_logps, batch, grid_thw, num_generations,
                 prompt_len, grids_per_prompt):
-        vision_embeds = None
-        if grid_thw is not None and encode_vision_in_step:
-            ve = encode_vision(params, cfg, batch["pixel_values"], grid_thw,
-                               remat=remat, attn_impl=attn_impl)
-            vision_embeds = tile_vision_embeds(
-                ve, cfg, grid_thw, num_generations, grids_per_prompt
-            )
+        vision_embeds = _vision_embeds(
+            params, batch, grid_thw, num_generations, grids_per_prompt
+        )
         logps = _completion_logps(
             params, cfg, batch["input_ids"], batch["position_ids"],
             batch["kv_mask"], prompt_len, vision_embeds=vision_embeds,
             remat=remat, attn_impl=attn_impl, logp_chunk=logp_chunk,
+            merge_fn=family.merge_vision_embeds,
         )
         loss, metrics = grpo_loss(
             logps, ref_logps, batch["advantages"], batch["completion_mask"],
@@ -139,17 +151,14 @@ def make_grpo_train_step(
         asynchronously right after rollout so it overlaps with host-side
         reward computation."""
         prompt_len = prompt_len if prompt_len is not None else bound_prompt_len
-        ref_vision_embeds = None
-        if grid_thw is not None and encode_vision_in_step:
-            rve = encode_vision(ref_params, cfg, batch["pixel_values"],
-                                grid_thw, remat=remat, attn_impl=attn_impl)
-            ref_vision_embeds = tile_vision_embeds(
-                rve, cfg, grid_thw, num_generations, grids_per_prompt
-            )
+        ref_vision_embeds = _vision_embeds(
+            ref_params, batch, grid_thw, num_generations, grids_per_prompt
+        )
         return _completion_logps(
             ref_params, cfg, batch["input_ids"], batch["position_ids"],
             batch["kv_mask"], prompt_len, vision_embeds=ref_vision_embeds,
             remat=remat, attn_impl=attn_impl, logp_chunk=logp_chunk,
+            merge_fn=family.merge_vision_embeds,
         )
 
     @functools.partial(

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from spacer_tpu.models.qwen25_vl.config import Qwen25VLConfig
-from spacer_tpu.models.qwen25_vl.rope_index import get_rope_index
 from spacer_tpu.sampler import Sampler
 from spacer_tpu.train.grpo import (
     group_advantages,
@@ -98,7 +97,10 @@ class SGRLVRTrainer:
         ref_params=None,
         mesh=None,
     ):
+        from spacer_tpu.models.registry import family_for_config
+
         self.cfg = cfg
+        self.family = family_for_config(cfg)
         self.args = args
         self.processor = processor
         self.reward_funcs = list(reward_funcs)
@@ -167,6 +169,12 @@ class SGRLVRTrainer:
         elif row["data_type"] == "video":
             prompt[0]["content"][0]["video"] = row["path"]
 
+        if self.family.name == "aria":
+            # Aria is image-only (reference grpo_trainer.py Aria branch);
+            # the AriaProcessor handles fetch + crop geometry itself.
+            out = self.processor.process_messages([prompt])
+            return out, False
+
         from spacer_tpu.vision.process import process_vision_info
 
         for msg in prompt:
@@ -215,6 +223,22 @@ class SGRLVRTrainer:
             "input_ids": np.concatenate(ids),
             "attention_mask": np.concatenate(mask),
         }
+        if self.family.name == "aria":
+            counts = []
+            pix, pmask, ppos = [], [], []
+            for e in encs:
+                n = e["pixel_values"].shape[0] if "pixel_values" in e else 0
+                counts.append(n)
+                if n:
+                    pix.append(e["pixel_values"])
+                    pmask.append(e["patch_mask"])
+                    ppos.append(e["pixel_position_ids"])
+            if pix:
+                out["pixel_values"] = np.concatenate(pix).astype(np.float32)
+                out["patch_mask"] = np.concatenate(pmask)
+                out["pixel_position_ids"] = np.concatenate(ppos)
+            out["grids_per_prompt"] = tuple(counts)
+            return out
         from spacer_tpu.data.processor import pack_vision_inputs
 
         pixels, vgrids, igrids, spgt, counts, allg = [], [], [], [], [], []
@@ -249,13 +273,8 @@ class SGRLVRTrainer:
         return out
 
     def _positions(self, enc: dict):
-        return get_rope_index(
-            self.cfg,
-            enc["input_ids"],
-            image_grid_thw=enc.get("image_grid_thw"),
-            video_grid_thw=enc.get("video_grid_thw"),
-            second_per_grid_ts=enc.get("second_per_grid_ts"),
-            attention_mask=enc["attention_mask"],
+        return self.family.positions(
+            self.cfg, enc["input_ids"], enc["attention_mask"], enc
         )
 
     # -- one training step ---------------------------------------------
@@ -298,12 +317,14 @@ class SGRLVRTrainer:
         pos, deltas = self._positions(enc)
         grid_thw = enc.get("grid_thw")
         grids_per_prompt = enc["grids_per_prompt"]
-        pixel_values = enc.get("pixel_values")
+        vision_kwargs = {
+            k: enc[k] for k in self.family.vision_batch_keys if k in enc
+        } or None
 
         sample_out = self.sampler.generate(
             enc["input_ids"], enc["attention_mask"], self.params,
             position_ids=pos, deltas=deltas,
-            pixel_values=pixel_values, grid_thw=grid_thw,
+            vision_kwargs=vision_kwargs, grid_thw=grid_thw,
             num_generations=G,
             max_new_tokens=args.max_completion_length,
             temperature=args.temperature, top_p=args.top_p,
@@ -356,8 +377,9 @@ class SGRLVRTrainer:
             "position_ids": pos_full,
             "completion_mask": comp_mask.astype(np.int32),
         }
-        if pixel_values is not None:
-            batch["pixel_values"] = np.asarray(pixel_values, np.float32)
+        if vision_kwargs is not None:
+            for k, v in vision_kwargs.items():
+                batch[k] = np.asarray(v)
         batch = self._place(batch)
         # async dispatch: overlaps with the reward python below
         ref_logps = self.step_fn.ref_logps_fn(
@@ -378,10 +400,14 @@ class SGRLVRTrainer:
             s_col = self._collate(s_encs)
             s_pos, s_deltas = self._positions(s_col)
             Gs = G // 2
+            s_vk = {
+                k: s_col[k] for k in self.family.vision_batch_keys
+                if k in s_col
+            } or None
             s_out = self.sampler.generate(
                 s_col["input_ids"], s_col["attention_mask"], self.params,
                 position_ids=s_pos, deltas=s_deltas,
-                pixel_values=s_col.get("pixel_values"),
+                vision_kwargs=s_vk,
                 grid_thw=s_col.get("grid_thw"),
                 num_generations=Gs,
                 max_new_tokens=args.max_completion_length,
