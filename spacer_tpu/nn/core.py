@@ -25,6 +25,10 @@ def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def dense(params, x, precision=None):
+    if "kernel_q8" in params:  # weight-only int8 (ops/quant.py)
+        from spacer_tpu.ops.quant import dense_q8
+
+        return dense_q8(params, x)
     y = jnp.dot(x, params["kernel"], precision=precision)
     if "bias" in params:
         y = y + params["bias"]

@@ -1,0 +1,78 @@
+"""Weight-only int8 quantization for the rollout/decode path.
+
+Decode is weight-bandwidth-bound: every generated token streams the full
+parameter set from HBM.  Symmetric per-output-channel int8 halves those
+bytes (and the MXU natively consumes the int8->bf16 converted operand), at
+~0.4% RMS weight error.  This is the TPU analogue of vLLM's weight-only
+quantized serving modes; training and logp computation stay bf16 — GRPO's
+importance weights are computed by the train step's own forward, so
+quantization only perturbs the SAMPLING distribution, not the gradient
+estimator's correctness.
+
+Param convention: a quantized dense dict carries "kernel_q8" (int8, same
+shape as the original kernel) and "q8_scale" (f32, broadcastable per
+output channel); nn.core.dense dispatches on the key.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = Any
+
+
+def quantize_dense_int8(p: Params) -> Params:
+    """{"kernel": (..., in, out), [bias]} -> int8 weight dict.
+
+    Per-output-channel symmetric: scale[j] = max_i |w[..., i, j]| / 127.
+    """
+    k = p["kernel"].astype(jnp.float32)
+    scale = jnp.max(jnp.abs(k), axis=-2, keepdims=True) / 127.0
+    q = jnp.round(k / jnp.maximum(scale, 1e-12))
+    out = {
+        "kernel_q8": jnp.clip(q, -127, 127).astype(jnp.int8),
+        "q8_scale": scale,
+    }
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def dense_q8(params: Params, x):
+    """y = (x @ dequant(kernel)) [+ bias], with the int8->activation-dtype
+    convert fused into the matmul operand load by XLA."""
+    y = jnp.dot(x, params["kernel_q8"].astype(x.dtype))
+    y = y * params["q8_scale"].astype(y.dtype)
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+def _is_dense(node) -> bool:
+    return isinstance(node, dict) and "kernel" in node
+
+
+def quantize_tree_int8(tree: Params,
+                       skip_names=("router", "experts")) -> Params:
+    """Quantize every dense kernel in a param subtree (stacked or not).
+
+    `skip_names`: dict keys whose subtrees stay full-precision — the MoE
+    router (a routing flip is a bigger perturbation than any matmul error)
+    and the grouped-GEMM expert weights (ragged_dot reads its rhs operand
+    directly; a dequant there would materialize a full bf16 copy).
+    """
+    def walk(node, skip):
+        if skip:
+            return node
+        if _is_dense(node):
+            return quantize_dense_int8(node)
+        if isinstance(node, dict):
+            return {
+                k: walk(v, k in skip_names) for k, v in node.items()
+            }
+        return node
+
+    return walk(tree, False)

@@ -29,6 +29,7 @@ import numpy as np
 from spacer_tpu.models.qwen25_vl.config import Qwen25VLConfig
 from spacer_tpu.models.qwen25_vl.language import init_kv_cache, lm_forward
 from spacer_tpu.models.qwen25_vl.model import encode_vision, forward
+from spacer_tpu.nn.core import embed as embed_op
 
 
 @dataclasses.dataclass
@@ -78,7 +79,7 @@ def sample_logits(logits, rng, temperature: float, top_p: float):
 def _decode_loop(
     params, text_cfg, prefix_cache, prefix_mask, tail_cache, first_tokens,
     deltas, prompt_len, group: int, max_new_tokens: int, temperature: float,
-    top_p: float, eos_token_id: int, rng,
+    top_p: float, eos_token_id: int, rng, decode_quant=None,
 ):
     """Shared-prefix autoregressive loop. Returns tokens (B*G, max_new).
 
@@ -86,6 +87,12 @@ def _decode_loop(
     per-layer buffers ONCE before the loop: every matmul then reads its
     operand directly instead of paying lax.scan's per-step slice copies and
     stacked tail-cache rebuilds (~2x per-step HBM traffic at 2k prefix).
+
+    decode_quant="int8": the loop reads weight-only-quantized layer params
+    (ops/quant.py) — half the per-token weight bytes; the one-time
+    quantize pass is amortized over max_new_tokens steps.  Prefill and the
+    train step stay bf16 (see ops/quant.py docstring for why this is
+    sound for GRPO).
     """
     from spacer_tpu.models.qwen25_vl.language import (
         lm_decode_step_split,
@@ -94,7 +101,19 @@ def _decode_loop(
 
     N = first_tokens.shape[0]
     L = text_cfg.num_layers
-    layers = split_layers(params["model"]["layers"], L)
+    layer_params = params["model"]["layers"]
+    if decode_quant == "int8":
+        from spacer_tpu.ops.quant import quantize_tree_int8
+
+        layer_params = quantize_tree_int8(layer_params)
+        head = params["model"].get("lm_head")
+        if head is not None:
+            from spacer_tpu.ops.quant import quantize_dense_int8
+
+            params = dict(params)
+            params["model"] = dict(params["model"])
+            params["model"]["lm_head"] = quantize_dense_int8(head)
+    layers = split_layers(layer_params, L)
     prefix_split = split_layers((prefix_cache["k"], prefix_cache["v"]), L)
     tail_split = split_layers((tail_cache["k"], tail_cache["v"]), L)
 
@@ -138,13 +157,13 @@ def _decode_loop(
     jax.jit,
     static_argnames=(
         "text_cfg", "num_generations", "max_new_tokens", "temperature",
-        "top_p", "eos_token_id", "attn_impl",
+        "top_p", "eos_token_id", "attn_impl", "decode_quant",
     ),
 )
 def _generate_jit(
     params, text_cfg, input_embeds, position_ids, prompt_mask, deltas, rng,
     *, num_generations: int, max_new_tokens: int, temperature: float,
-    top_p: float, eos_token_id: int, attn_impl=None,
+    top_p: float, eos_token_id: int, attn_impl=None, decode_quant=None,
 ):
     """Prefill once per prompt; decode with the prompt KV SHARED across the
     G completions (one prefix read per step for the whole group) and a
@@ -170,8 +189,31 @@ def _generate_jit(
     tokens = _decode_loop(
         params, text_cfg, prefix_cache, prefix_mask, tail_cache, first,
         deltas, S, G, max_new_tokens, temperature, top_p, eos_token_id, rng,
+        decode_quant=decode_quant,
     )
     return tokens
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_thw", "attn_impl", "family_name"),
+)
+def _prologue_jit(params, ids, vision_kwargs, *, cfg, grid_thw, attn_impl,
+                  family_name):
+    """Embed + vision encode + placeholder merge as ONE compiled program.
+
+    Running this eagerly costs one backend dispatch per op — on a
+    remote-relay PJRT backend that fixed overhead (~seconds for the ViT)
+    dwarfs the whole decode loop.  vision_kwargs: {} for text-only."""
+    from spacer_tpu.models.registry import get_family
+
+    family = get_family(family_name)
+    token_embeds = embed_op(params["model"]["embed_tokens"], ids)
+    if vision_kwargs:
+        ve = family.encode_vision(params, cfg, vision_kwargs, grid_thw,
+                                  attn_impl=attn_impl)
+        token_embeds = family.merge_vision_embeds(cfg, ids, token_embeds, ve)
+    return token_embeds
 
 
 def completion_mask_from_ids(completion_ids: np.ndarray, eos_token_id: int
@@ -196,7 +238,9 @@ class Sampler:
 
     def __init__(self, cfg, eos_token_id: int | None = None,
                  pad_token_id: int | None = None, attn_impl: str | None = None,
-                 length_bucket: int = 128):
+                 length_bucket: int = 128, decode_quant: str | None = None):
+        import os
+
         from spacer_tpu.models.registry import family_for_config
 
         self.cfg = cfg
@@ -205,6 +249,11 @@ class Sampler:
         self.pad_token_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
         self.attn_impl = attn_impl
         self.length_bucket = length_bucket
+        # "int8": weight-only-quantized decode loop (ops/quant.py)
+        self.decode_quant = (
+            decode_quant if decode_quant is not None
+            else os.environ.get("SPACER_DECODE_QUANT") or None
+        )
 
     def _bucket(self, n: int) -> int:
         b = self.length_bucket
@@ -247,24 +296,23 @@ class Sampler:
             # delta = max_pos + 1 - seq_len; padding grows seq_len
             deltas = np.asarray(deltas) - pad
 
-        from spacer_tpu.nn.core import embed
-
         ids = jnp.asarray(input_ids)
-        token_embeds = embed(params["model"]["embed_tokens"], ids)
-        if vision_embeds is None and pixel_values is not None:
-            # legacy qwen-shaped call (packed patches + static grids)
-            vision_embeds = encode_vision(
-                params, cfg, jnp.asarray(pixel_values), grid_thw,
-                attn_impl=self.attn_impl,
-            )
-        elif vision_embeds is None and vision_kwargs is not None:
-            vision_embeds = self.family.encode_vision(
-                params, cfg, vision_kwargs, grid_thw,
-                attn_impl=self.attn_impl,
-            )
         if vision_embeds is not None:
+            token_embeds = _prologue_jit(
+                params, ids, {}, cfg=cfg, grid_thw=None,
+                attn_impl=self.attn_impl, family_name=self.family.name,
+            )
             token_embeds = self.family.merge_vision_embeds(
                 cfg, ids, token_embeds, vision_embeds)
+        else:
+            if vision_kwargs is None and pixel_values is not None:
+                # legacy qwen-shaped call (packed patches + static grids)
+                vision_kwargs = {"pixel_values": pixel_values}
+            vk = {k: jnp.asarray(v) for k, v in (vision_kwargs or {}).items()}
+            token_embeds = _prologue_jit(
+                params, ids, vk, cfg=cfg, grid_thw=grid_thw,
+                attn_impl=self.attn_impl, family_name=self.family.name,
+            )
 
         rng = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
         tokens = _generate_jit(
@@ -274,6 +322,7 @@ class Sampler:
             temperature=float(temperature) if temperature is not None else 0.0,
             top_p=float(top_p) if top_p is not None else 1.0,
             eos_token_id=self.eos_token_id, attn_impl=self.attn_impl,
+            decode_quant=self.decode_quant,
         )
         tokens = np.asarray(tokens)
         mask = completion_mask_from_ids(tokens, self.eos_token_id)

@@ -38,6 +38,32 @@ from spacer_tpu.train.step import make_grpo_train_step
 from spacer_tpu.utils.logging import MetricLogger
 
 
+def _concat_maybe_device(parts):
+    """Concatenate pixel chunks WITHOUT pulling prefetched device arrays
+    back to host (np.concatenate on a jax.Array would re-transfer)."""
+    if any(isinstance(p, jax.Array) for p in parts):
+        return jnp.concatenate([jnp.asarray(p) for p in parts], axis=0)
+    return np.concatenate(parts).astype(np.float32)
+
+
+def _device_prefetch_vision(enc: dict) -> dict:
+    """Start the host->device transfer of the big pixel arrays NOW.
+
+    Called from the prefetch thread pool, so the transfer (the slowest
+    fixed cost of a step on tunneled/relayed backends: tens of MB per
+    video at ~55 MB/s here) fully overlaps the previous training step.
+    Float pixels ship as bf16 — they feed a bf16 patch-embed matmul, so
+    this is bit-identical to the on-device cast at HALF the wire bytes.
+    """
+    for k in ("pixel_values", "pixel_values_videos"):
+        if k in enc and not isinstance(enc[k], jax.Array):
+            arr = np.asarray(enc[k])
+            if arr.dtype == np.float32 or arr.dtype == np.float64:
+                arr = arr.astype(jnp.bfloat16)
+            enc[k] = jax.device_put(arr)
+    return enc
+
+
 @dataclasses.dataclass
 class SGRLVRConfig:
     """Training hyperparameters (defaults = run_SpaceR_SG_RLVR.sh:15-39)."""
@@ -79,6 +105,10 @@ class SGRLVRConfig:
     logp_chunk: int = 256
     attn_impl: Optional[str] = None
     warmup_steps: int = 0
+    # "int8": weight-only-quantized rollout decode (ops/quant.py) — ~16%
+    # faster rollouts; logps/updates stay bf16 (sound for GRPO, see
+    # ops/quant.py docstring)
+    decode_quant: Optional[str] = None
 
 
 class SGRLVRTrainer:
@@ -141,6 +171,7 @@ class SGRLVRTrainer:
             pad_token_id=processor.pad_token_id,
             attn_impl=args.attn_impl,
             length_bucket=args.prompt_bucket,
+            decode_quant=args.decode_quant,
         )
         self.step_fn = make_grpo_train_step(
             cfg, self.tx, beta=args.beta, remat=args.remat,
@@ -173,7 +204,7 @@ class SGRLVRTrainer:
             # Aria is image-only (reference grpo_trainer.py Aria branch);
             # the AriaProcessor handles fetch + crop geometry itself.
             out = self.processor.process_messages([prompt])
-            return out, False
+            return _device_prefetch_vision(out), False
 
         from spacer_tpu.vision.process import process_vision_info
 
@@ -195,7 +226,10 @@ class SGRLVRTrainer:
         out = self.processor(
             [text], images=images, videos=videos, fps=vkw.get("fps"),
         )
-        return out, videos is not None and len(videos) > 0
+        return (
+            _device_prefetch_vision(out),
+            videos is not None and len(videos) > 0,
+        )
 
     def _truncate_prompt(self, enc: dict):
         mp = self.args.max_prompt_length
@@ -234,7 +268,7 @@ class SGRLVRTrainer:
                     pmask.append(e["patch_mask"])
                     ppos.append(e["pixel_position_ids"])
             if pix:
-                out["pixel_values"] = np.concatenate(pix).astype(np.float32)
+                out["pixel_values"] = _concat_maybe_device(pix)
                 out["patch_mask"] = np.concatenate(pmask)
                 out["pixel_position_ids"] = np.concatenate(ppos)
             out["grids_per_prompt"] = tuple(counts)
@@ -247,7 +281,7 @@ class SGRLVRTrainer:
             px, grids = pack_vision_inputs(e)
             n = 0
             if px is not None:
-                pixels.append(np.asarray(px))
+                pixels.append(px)
                 allg.extend(grids)
                 n = len(grids)
             if "video_grid_thw" in e:
@@ -261,7 +295,7 @@ class SGRLVRTrainer:
                 igrids.append(np.asarray(e["image_grid_thw"]))
             counts.append(n)
         if pixels:
-            out["pixel_values"] = np.concatenate(pixels).astype(np.float32)
+            out["pixel_values"] = _concat_maybe_device(pixels)
             # flat grids in row order (ViT packs all media in one call)
             out["grid_thw"] = tuple(tuple(int(x) for x in g) for g in allg)
             if vgrids:
@@ -379,7 +413,9 @@ class SGRLVRTrainer:
         }
         if vision_kwargs is not None:
             for k, v in vision_kwargs.items():
-                batch[k] = np.asarray(v)
+                # keep prefetched device arrays on device (np.asarray on a
+                # jax.Array would round-trip the pixels through the host)
+                batch[k] = v if isinstance(v, jax.Array) else np.asarray(v)
         batch = self._place(batch)
         # async dispatch: overlaps with the reward python below
         ref_logps = self.step_fn.ref_logps_fn(
