@@ -120,36 +120,77 @@ def _decode_loop(
     tokens0 = jnp.zeros((N, max_new_tokens), jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first_tokens.astype(jnp.int32))
     done0 = first_tokens == eos_token_id
-    tail_positions = jnp.arange(max_new_tokens)
 
-    def cond(state):
-        step, tokens, done, tail_split, rng = state
-        return (step < max_new_tokens) & ~jnp.all(done)
+    def make_body(bucket: int):
+        tail_positions = jnp.arange(bucket)
 
-    def body(state):
-        step, tokens, done, tail_split, rng = state
-        cur = jax.lax.dynamic_slice(tokens, (0, step - 1), (N, 1))
-        # position = prompt_len + delta + (step - 1) on all three rope axes
-        pos = (prompt_len + deltas.reshape(-1) + step - 1).astype(jnp.int32)
-        pos3 = jnp.broadcast_to(pos[None, :, None], (3, N, 1))
-        tail_mask = jnp.broadcast_to(
-            tail_positions[None, :] < step, (N, max_new_tokens)
-        )
-        logits, tail_split = lm_decode_step_split(
-            layers, params["model"], text_cfg, cur, pos3, prefix_split,
-            prefix_mask, tail_split, tail_mask, step - 1, group,
-        )
-        rng, sub = jax.random.split(rng)
-        nxt = sample_logits(logits[:, -1], sub, temperature, top_p)
-        nxt = jnp.where(done, jnp.full_like(nxt, eos_token_id), nxt)
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, nxt[:, None].astype(jnp.int32), (0, step)
-        )
-        done = done | (nxt == eos_token_id)
-        return step + 1, tokens, done, tail_split, rng
+        def body(state):
+            step, tokens, done, tail_split, rng = state
+            cur = jax.lax.dynamic_slice(tokens, (0, step - 1), (N, 1))
+            # position = prompt_len + delta + (step-1) on all 3 rope axes
+            pos = (prompt_len + deltas.reshape(-1) + step - 1).astype(
+                jnp.int32)
+            pos3 = jnp.broadcast_to(pos[None, :, None], (3, N, 1))
+            tail_mask = jnp.broadcast_to(
+                tail_positions[None, :] < step, (N, bucket)
+            )
+            logits, tail_split = lm_decode_step_split(
+                layers, params["model"], text_cfg, cur, pos3, prefix_split,
+                prefix_mask, tail_split, tail_mask, step - 1, group,
+            )
+            rng, sub = jax.random.split(rng)
+            nxt = sample_logits(logits[:, -1], sub, temperature, top_p)
+            nxt = jnp.where(done, jnp.full_like(nxt, eos_token_id), nxt)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, nxt[:, None].astype(jnp.int32), (0, step)
+            )
+            done = done | (nxt == eos_token_id)
+            return step + 1, tokens, done, tail_split, rng
 
-    state = (jnp.int32(1), tokens0, done0, tail_split, rng)
-    _, tokens, done, _, _ = jax.lax.while_loop(cond, body, state)
+        return body
+
+    # Chunked tail cache: attention reads the WHOLE tail buffer every step,
+    # so a flat max_new_tokens buffer costs more HBM traffic at long
+    # completions than the weights themselves (at C=1024, B*G=32: ~1.6GB vs
+    # ~0.7GB int8 weights per token).  Decode runs as segmented while_loops
+    # over doubling buckets (128, 256, 512, ...): steps in (start, end]
+    # read an end-sized buffer, then the tail copies into the next size up
+    # (one linear pass, amortized over the segment).  Early EOS still
+    # exits: every segment's cond re-checks `done`.
+    bucket = min(128, max_new_tokens)
+    boundaries = []
+    while bucket < max_new_tokens:
+        boundaries.append(bucket)
+        bucket *= 2
+    boundaries.append(max_new_tokens)
+
+    def shrink(ts, size):
+        return tuple((tk[:, :size], tv[:, :size]) for tk, tv in ts)
+
+    def grow(ts, new_size):
+        def pad(t):
+            return jax.lax.dynamic_update_slice(
+                jnp.zeros((t.shape[0], new_size) + t.shape[2:], t.dtype),
+                t, (0, 0, 0, 0),
+            )
+
+        return tuple((pad(tk), pad(tv)) for tk, tv in ts)
+
+    state = (jnp.int32(1), tokens0, done0,
+             shrink(tail_split, boundaries[0]), rng)
+    prev = boundaries[0]
+    for end in boundaries:
+        if end != prev:
+            step_c, tokens_c, done_c, ts, rng_c = state
+            state = (step_c, tokens_c, done_c, grow(ts, end), rng_c)
+            prev = end
+
+        def cond(state, end=end):
+            step_c, tokens_c, done_c, ts, rng_c = state
+            return (step_c < end) & ~jnp.all(done_c)
+
+        state = jax.lax.while_loop(cond, make_body(end), state)
+    _, tokens, _, _, _ = state
     return tokens
 
 
