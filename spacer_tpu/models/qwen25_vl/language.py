@@ -127,18 +127,26 @@ def _layer(
     return h, new_cache
 
 
-def _decode_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
-                  cos, sin, prefix_mask, tail_mask, tail_index, group: int):
+def _decode_layer(h, layer_params, prefix_entry, tail_entry, *,
+                  cfg: TextConfig, cos, sin, prefix_mask, tail_mask,
+                  tail_index, group: int):
     """One decoder layer for shared-prefix decode.
 
     h: (B*G, 1, D) current-token hidden states.
-    pk/pv: (B, P, Hkv, Dh) prefix cache (shared across the G completions of
-    each prompt — read ONCE per step for the whole group).
-    tk/tv: (B*G, NEW, Hkv, Dh) per-completion tail cache; the current k/v is
-    written at tail_index.
+    prefix_entry: (pk, pv) with pk/pv (B, P, Hkv, Dh) — the prefix cache,
+    shared across the G completions of each prompt (read ONCE per step for
+    the whole group) — or (pk_q8, pv_q8, pk_scale, pv_scale) with int8 codes
+    and (B, P, Hkv) f32 scales (ops/quant.py quantize_kv).
+    tail_entry: (tk, tv) with tk/tv (B*G, NEW, Hkv, Dh) per-completion tail
+    cache (current k/v written at tail_index), or the int8 4-tuple likewise.
     """
     N, _, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    pk, pv = prefix_entry[0], prefix_entry[1]
+    pk_sc, pv_sc = (prefix_entry[2], prefix_entry[3]) \
+        if len(prefix_entry) == 4 else (None, None)
+    tk, tv = tail_entry[0], tail_entry[1]
+    quant_tail = len(tail_entry) == 4
     B = pk.shape[0]
     G = group
     P = pk.shape[1]
@@ -150,49 +158,73 @@ def _decode_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
     v = dense(p_attn["v_proj"], x).reshape(N, 1, Hkv, Dh)
     q, k = apply_rope(q, k, cos, sin)
 
-    tk = jax.lax.dynamic_update_slice(tk, k.astype(tk.dtype),
-                                      (0, tail_index, 0, 0))
-    tv = jax.lax.dynamic_update_slice(tv, v.astype(tv.dtype),
-                                      (0, tail_index, 0, 0))
+    if quant_tail:
+        from spacer_tpu.ops.quant import quantize_kv
+
+        tk_sc, tv_sc = tail_entry[2], tail_entry[3]
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        tk = jax.lax.dynamic_update_slice(tk, kq, (0, tail_index, 0, 0))
+        tv = jax.lax.dynamic_update_slice(tv, vq, (0, tail_index, 0, 0))
+        tk_sc = jax.lax.dynamic_update_slice(tk_sc, ks, (0, tail_index, 0))
+        tv_sc = jax.lax.dynamic_update_slice(tv_sc, vs, (0, tail_index, 0))
+        new_tail = (tk, tv, tk_sc, tv_sc)
+    else:
+        tk = jax.lax.dynamic_update_slice(tk, k.astype(tk.dtype),
+                                          (0, tail_index, 0, 0))
+        tv = jax.lax.dynamic_update_slice(tv, v.astype(tv.dtype),
+                                          (0, tail_index, 0, 0))
+        new_tail = (tk, tv)
 
     # attention math: operands stay in the cache dtype (bf16 on TPU) with
     # f32 ACCUMULATION via preferred_element_type — never .astype the caches
     # (that would materialize an f32 copy of the whole KV every layer every
     # step, tripling decode HBM traffic and forcing 4-pass f32 MXU matmuls);
     # scale/softmax run on the f32 logits, so statistics stay exact.
+    # int8 caches: the per-vector dequant scales stay OUT of the matmuls —
+    # K scales multiply the f32 logits, V scales fold into the probs — so
+    # the int8->bf16 convert of the codes fuses into the operand load.
     scale = Dh ** -0.5
+    cdt = h.dtype
     group_q = H // Hkv
     qf = q.reshape(B, G, Hkv, group_q, Dh)
     # prefix logits: one read of (B, P) kv serves all G rows
-    lp = jnp.einsum("bghcd,bphd->bghcp", qf, pk.astype(qf.dtype),
+    lp = jnp.einsum("bghcd,bphd->bghcp", qf, pk.astype(cdt),
                     preferred_element_type=jnp.float32) * scale
+    if pk_sc is not None:
+        lp = lp * jnp.transpose(pk_sc, (0, 2, 1))[:, None, :, None, :]
     lp = jnp.where(prefix_mask[:, None, None, None, :],
                    lp, -1e30)  # (B, G, Hkv, group, P)
     # tail logits per completion row
     qt = qf.reshape(N, Hkv, group_q, Dh)
-    lt = jnp.einsum("nhcd,nthd->nhct", qt, tk.astype(qf.dtype),
+    lt = jnp.einsum("nhcd,nthd->nhct", qt, tk.astype(cdt),
                     preferred_element_type=jnp.float32) * scale
+    if quant_tail:
+        lt = lt * jnp.transpose(tk_sc, (0, 2, 1))[:, :, None, :]
     lt = jnp.where(tail_mask[:, None, None, :], lt, -1e30)
 
     full = jnp.concatenate(
         [lp.reshape(N, Hkv, group_q, P), lt], axis=-1
     )  # (N, Hkv, group, P+NEW)
     probs = jax.nn.softmax(full, axis=-1)
-    pb = probs.astype(pv.dtype)
-    probs_p = pb[..., :P].reshape(B, G, Hkv, group_q, P)
-    probs_t = pb[..., P:]
+    probs_p = probs[..., :P].reshape(B, G, Hkv, group_q, P)
+    probs_t = probs[..., P:]
+    if pv_sc is not None:
+        probs_p = probs_p * jnp.transpose(pv_sc, (0, 2, 1))[:, None, :, None, :]
+    if quant_tail:
+        probs_t = probs_t * jnp.transpose(tv_sc, (0, 2, 1))[:, :, None, :]
     out = (
-        jnp.einsum("bghcp,bphd->bghcd", probs_p, pv,
+        jnp.einsum("bghcp,bphd->bghcd", probs_p.astype(cdt), pv.astype(cdt),
                    preferred_element_type=jnp.float32)
         .reshape(N, Hkv, group_q, Dh)
-        + jnp.einsum("nhct,nthd->nhcd", probs_t, tv,
+        + jnp.einsum("nhct,nthd->nhcd", probs_t.astype(cdt), tv.astype(cdt),
                      preferred_element_type=jnp.float32)
     ).astype(h.dtype)
     h = h + dense(p_attn["o_proj"], out.reshape(N, 1, H * Dh))
 
     x = rms_norm(layer_params["post_attention_layernorm"], h, cfg.rms_norm_eps)
     h = h + _mlp_block(layer_params["mlp"], x, cfg)
-    return h, (tk, tv)
+    return h, new_tail
 
 
 def split_layers(stacked, num_layers: int):
@@ -248,8 +280,10 @@ def lm_decode_step_split(
     input_ids,            # (B*G, 1)
     position_ids,         # (3, B*G, 1)
     prefix_split,         # tuple of L (pk, pv): (B, P, Hkv, Dh)
+                          #   (or (pk_q8, pv_q8, k_scale, v_scale) int8)
     prefix_mask,          # (B, P)
     tail_split,           # tuple of L (tk, tv): (B*G, NEW, Hkv, Dh)
+                          #   (or the int8 4-tuple likewise)
     tail_mask,            # (B*G, NEW)
     tail_index,
     group: int,
@@ -261,14 +295,12 @@ def lm_decode_step_split(
 
     new_tail = []
     for l in range(cfg.num_layers):
-        pk, pv = prefix_split[l]
-        tk, tv = tail_split[l]
-        h, (tk, tv) = _decode_layer(
-            h, layers[l], pk, pv, tk, tv, cfg=cfg, cos=cos, sin=sin,
-            prefix_mask=prefix_mask, tail_mask=tail_mask,
+        h, entry = _decode_layer(
+            h, layers[l], prefix_split[l], tail_split[l], cfg=cfg, cos=cos,
+            sin=sin, prefix_mask=prefix_mask, tail_mask=tail_mask,
             tail_index=tail_index, group=group,
         )
-        new_tail.append((tk, tv))
+        new_tail.append(entry)
 
     h = rms_norm(params["norm"], h, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:

@@ -51,6 +51,22 @@ def dense_q8(params: Params, x):
     return y
 
 
+def quantize_kv(x):
+    """(…, Dh) KV block -> (int8 codes, f32 per-vector scale (…,)).
+
+    Per-(position, head) symmetric quantization of a KV cache block.  The
+    scale NEVER enters the attention matmuls: for K it multiplies the
+    logits after q·k_q8 (logit[p] = scale[p]·(q·k_q8[p])), for V it folds
+    into the softmax probs before probs·v_q8 — so the int8->bf16 convert of
+    the codes fuses into the matmul operand load and the dequantized cache
+    is never materialized.
+    """
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = a / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-12)[..., None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
 def _is_dense(node) -> bool:
     return isinstance(node, dict) and "kernel" in node
 

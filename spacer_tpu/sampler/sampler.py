@@ -93,6 +93,10 @@ def _decode_loop(
     quantize pass is amortized over max_new_tokens steps.  Prefill and the
     train step stay bf16 (see ops/quant.py docstring for why this is
     sound for GRPO).
+
+    decode_quant="int8_kv": int8 weights AND int8 KV caches (per-vector
+    scales, ops/quant.py quantize_kv) — also halves the per-step prefix +
+    tail cache reads, the dominant term at long prefixes/completions.
     """
     from spacer_tpu.models.qwen25_vl.language import (
         lm_decode_step_split,
@@ -102,7 +106,7 @@ def _decode_loop(
     N = first_tokens.shape[0]
     L = text_cfg.num_layers
     layer_params = params["model"]["layers"]
-    if decode_quant == "int8":
+    if decode_quant in ("int8", "int8_kv"):
         from spacer_tpu.ops.quant import quantize_tree_int8
 
         layer_params = quantize_tree_int8(layer_params)
@@ -116,6 +120,25 @@ def _decode_loop(
     layers = split_layers(layer_params, L)
     prefix_split = split_layers((prefix_cache["k"], prefix_cache["v"]), L)
     tail_split = split_layers((tail_cache["k"], tail_cache["v"]), L)
+    if decode_quant == "int8_kv":
+        from spacer_tpu.ops.quant import quantize_kv
+
+        def quant_prefix(entry):
+            (pk, pv) = entry
+            pkq, pks = quantize_kv(pk)
+            pvq, pvs = quantize_kv(pv)
+            return (pkq, pvq, pks, pvs)
+
+        prefix_split = tuple(quant_prefix(e) for e in prefix_split)
+
+        def quant_tail(entry):
+            tk, tv = entry
+            shape, sshape = tk.shape, tk.shape[:-1]
+            return (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(sshape, jnp.float32),
+                    jnp.zeros(sshape, jnp.float32))
+
+        tail_split = tuple(quant_tail(e) for e in tail_split)
 
     tokens0 = jnp.zeros((N, max_new_tokens), jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first_tokens.astype(jnp.int32))
@@ -165,16 +188,16 @@ def _decode_loop(
     boundaries.append(max_new_tokens)
 
     def shrink(ts, size):
-        return tuple((tk[:, :size], tv[:, :size]) for tk, tv in ts)
+        return tuple(tuple(t[:, :size] for t in entry) for entry in ts)
 
     def grow(ts, new_size):
         def pad(t):
             return jax.lax.dynamic_update_slice(
                 jnp.zeros((t.shape[0], new_size) + t.shape[2:], t.dtype),
-                t, (0, 0, 0, 0),
+                t, (0,) * t.ndim,
             )
 
-        return tuple((pad(tk), pad(tv)) for tk, tv in ts)
+        return tuple(tuple(pad(t) for t in entry) for entry in ts)
 
     state = (jnp.int32(1), tokens0, done0,
              shrink(tail_split, boundaries[0]), rng)
@@ -290,7 +313,8 @@ class Sampler:
         self.pad_token_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
         self.attn_impl = attn_impl
         self.length_bucket = length_bucket
-        # "int8": weight-only-quantized decode loop (ops/quant.py)
+        # "int8": weight-only-quantized decode loop (ops/quant.py);
+        # "int8_kv": int8 weights + int8 KV caches (quantize_kv)
         self.decode_quant = (
             decode_quant if decode_quant is not None
             else os.environ.get("SPACER_DECODE_QUANT") or None

@@ -105,8 +105,9 @@ class SGRLVRConfig:
     logp_chunk: int = 256
     attn_impl: Optional[str] = None
     warmup_steps: int = 0
-    # "int8": weight-only-quantized rollout decode (ops/quant.py) — ~16%
-    # faster rollouts; logps/updates stay bf16 (sound for GRPO, see
+    # "int8": weight-only-quantized rollout decode (ops/quant.py);
+    # "int8_kv": int8 weights + int8 KV caches (halves the per-step cache
+    # reads too). logps/updates stay bf16 (sound for GRPO, see
     # ops/quant.py docstring)
     decode_quant: Optional[str] = None
 
