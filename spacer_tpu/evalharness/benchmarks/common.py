@@ -35,12 +35,20 @@ def run_worker(
     debug: bool = False,
     debug_size: int = 4,
     seed: int = 0,
+    serving: str = "static",
 ) -> tuple[str, float]:
     """Generic eval worker: shard -> build -> generate -> per-rank jsonl.
 
     build_sample(row) returns (messages, result_record) or None to skip;
     the worker fills result_record['predicted_answer'].  Batch inference
     failures degrade to "" answers (vsibench.py:181-183 semantics).
+
+    serving="continuous": prompts stream through the engine's
+    continuous-batching path (engine.generate_many, serving/batcher.py)
+    with batch_size decode slots, in waves of 8*batch_size requests so a
+    shard's frames never all sit in host memory at once.  Finished slots
+    refill mid-wave instead of idling until the longest answer in a static
+    batch completes.
     """
     logger = setup_logger(f"eval.{task}", output_dir, rank)
     t0 = time.time()
@@ -53,19 +61,28 @@ def run_worker(
     shard = shard_rows(rows, rank, world_size)
     logger.info(f"rank {rank}/{world_size} shard={len(shard)}")
 
+    continuous = serving == "continuous" and hasattr(engine, "generate_many")
+    wave = batch_size * 8 if continuous else batch_size
+
     results = []
-    for start in range(0, len(shard), batch_size):
-        batch = shard[start : start + batch_size]
+    for start in range(0, len(shard), wave):
+        batch = shard[start : start + wave]
         built = [build_sample(r) for r in batch]
         built = [b for b in built if b is not None]
         if not built:
             continue
         messages = [b[0] for b in built]
         try:
-            answers = engine.generate(
-                messages, max_new_tokens=max_new_tokens,
-                temperature=temperature,
-            )
+            if continuous:
+                answers = engine.generate_many(
+                    messages, max_new_tokens=max_new_tokens,
+                    temperature=temperature, slots=batch_size,
+                )
+            else:
+                answers = engine.generate(
+                    messages, max_new_tokens=max_new_tokens,
+                    temperature=temperature,
+                )
         except Exception as e:
             logger.error(f"rank {rank} batch inference failure: {e}")
             answers = [""] * len(built)

@@ -73,6 +73,66 @@ class QwenEngine:
             skip_special_tokens=True,
         )
 
+    def generate_many(self, messages_list, *, max_new_tokens: int = 128,
+                      temperature: float = 0.01, slots: int = 4,
+                      chunk_steps: int = 32,
+                      prompt_bucket: int | None = None) -> list[str]:
+        """Continuous-batching generation: all prompts stream through a
+        fixed set of decode slots (serving/batcher.py) — finished rows
+        refill immediately instead of idling until the batch's longest
+        answer completes.  Preferred over generate() for large prompt sets
+        with variable answer lengths (the six-benchmark eval harness)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from spacer_tpu.data.processor import pack_vision_inputs
+        from spacer_tpu.models.qwen25_vl import get_rope_index
+        from spacer_tpu.serving import ContinuousBatcher
+
+        requests = []
+        max_len = 1
+        for m in messages_list:
+            enc = self.processor.process_messages(
+                [m], add_generation_prompt=True)
+            pos, deltas = get_rope_index(
+                self.cfg, enc["input_ids"],
+                image_grid_thw=enc.get("image_grid_thw"),
+                video_grid_thw=enc.get("video_grid_thw"),
+                second_per_grid_ts=enc.get("second_per_grid_ts"),
+                attention_mask=enc["attention_mask"],
+            )
+            pixel_values, grid_thw = pack_vision_inputs(enc)
+            req = {
+                "input_ids": enc["input_ids"],
+                "attention_mask": enc["attention_mask"],
+                "position_ids": pos,
+                "deltas": deltas,
+                "grid_thw": grid_thw,
+            }
+            if pixel_values is not None:
+                req["vision_kwargs"] = {"pixel_values": pixel_values}
+            max_len = max(max_len, enc["input_ids"].shape[1])
+            requests.append(req)
+
+        bucket = self.sampler.length_bucket
+        Pmax = prompt_bucket or max(bucket, -(-max_len // bucket) * bucket)
+        dtype = self.params["model"]["embed_tokens"]["embedding"].dtype
+        self._calls += 1
+        batcher = ContinuousBatcher(
+            self.cfg, self.params, slots=min(slots, len(requests)),
+            prompt_len=Pmax, max_new_tokens=max_new_tokens,
+            eos_token_id=self.processor.eos_token_id,
+            pad_token_id=self.processor.pad_token_id,
+            temperature=temperature, top_p=self.top_p,
+            attn_impl=self.sampler.attn_impl, chunk_steps=chunk_steps,
+            seed=self.seed + self._calls, dtype=dtype,
+        )
+        outs = batcher.run(requests)
+        return self.processor.tokenizer.batch_decode(
+            [np.asarray(o.sequences[:o.length]) for o in outs],
+            skip_special_tokens=True,
+        )
+
 
 class EchoEngine:
     """Deterministic test engine: returns canned or template answers."""

@@ -40,6 +40,11 @@ class EvalConfig:
     # override the prompt_type-derived decode budget (1024 thinking / 128
     # default, vsibench.py:170-174); None keeps reference behavior
     max_new_tokens: Optional[int] = None
+    # "static": batch_size prompts per decode program (all rows run until
+    # the longest finishes); "continuous": stream prompts through
+    # batch_size decode slots with mid-flight refill (serving/batcher.py,
+    # the vLLM-role path — requires the engine to expose generate_many)
+    serving: str = "static"
 
 
 def prepare_data(task: str, data_root: str = ".") -> tuple:
@@ -126,6 +131,7 @@ def run_benchmark(cfg: EvalConfig, engine) -> dict:
             target_resolution=tuple(cfg.target_resolution), debug=cfg.debug,
             batch_size=cfg.batch_size, debug_size=cfg.debug_size,
             prompt_type=cfg.prompt_type, max_new_tokens=cfg.max_new_tokens,
+            serving=cfg.serving,
         )
         elapsed.append(dt)
     logger.info(

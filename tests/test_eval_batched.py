@@ -96,3 +96,44 @@ def test_eval_batch4_matches_batch1(video_dir, tmp_path):
 
     # near-greedy decode: batching must not change the per-row answers
     assert preds[1] == preds[4]
+
+
+def test_eval_continuous_serving_matches_static(video_dir, tmp_path):
+    """EvalConfig(serving='continuous') streams the shard through the
+    slot-refill batcher (serving/batcher.py); greedy predictions must match
+    the static-batched path row for row."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    tok = MockTokenizer(vocab_size=cfg.text.vocab_size)
+    proc = VLProcessor(tok, cfg)
+    pq = _vsi_parquet(tmp_path)
+
+    class GreedyEngine(QwenEngine):
+        def generate(self, messages_list, *, max_new_tokens=128,
+                     temperature=0.01):
+            return super().generate(
+                messages_list, max_new_tokens=max_new_tokens,
+                temperature=0.0)
+
+        def generate_many(self, messages_list, **kw):
+            kw["temperature"] = 0.0
+            return super().generate_many(messages_list, **kw)
+
+    preds = {}
+    for serving in ("static", "continuous"):
+        engine = GreedyEngine(cfg, params, proc, attn_impl="xla",
+                              length_bucket=64)
+        out_dir = str(tmp_path / f"out_{serving}")
+        ecfg = EvalConfig(
+            task="VSI-Bench", output_dir=out_dir, world_size=1,
+            batch_size=2, num_frames=4, fps=1, prompt_type="default",
+            data_file=pq, video_dir=video_dir, max_new_tokens=8,
+            serving=serving,
+        )
+        run_benchmark(ecfg, engine)
+        merged = os.path.join(out_dir, "VSI-Bench_results.jsonl")
+        docs = [json.loads(l) for l in open(merged)]
+        assert len(docs) == 4
+        preds[serving] = {d["id"]: d["predicted_answer"] for d in docs}
+
+    assert preds["static"] == preds["continuous"]

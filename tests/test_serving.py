@@ -1,0 +1,143 @@
+"""Continuous batching: slot refill, ragged decode, engine integration.
+
+The serving path must agree with the grouped Sampler token-for-token under
+greedy decoding in f32: both run the same prefill (lm_forward) and
+mathematically identical decode attention (merged masked softmax == the
+sampler's prefix/tail concat), so any drift means a masking/index bug."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spacer_tpu.models.qwen25_vl import init_params, tiny_config
+from spacer_tpu.sampler import Sampler
+from spacer_tpu.serving import ContinuousBatcher
+
+
+def _prompts(cfg, lengths, seed=0):
+    rng = np.random.RandomState(seed)
+    reqs = []
+    for S in lengths:
+        ids = rng.randint(10, cfg.text.vocab_size, size=(1, S)).astype(
+            np.int32)
+        reqs.append({
+            "input_ids": ids,
+            "attention_mask": np.ones((1, S), np.int32),
+            "position_ids": np.broadcast_to(
+                np.arange(S)[None, None], (3, 1, S)).astype(np.int32),
+            "deltas": np.zeros((1, 1), np.int32),
+        })
+    return reqs
+
+
+def _sampler_reference(cfg, params, reqs, eos, max_new):
+    """Per-prompt greedy generations via the grouped sampler."""
+    s = Sampler(cfg, eos_token_id=eos, length_bucket=16)
+    outs = []
+    for r in reqs:
+        o = s.generate(
+            r["input_ids"], r["attention_mask"], params,
+            position_ids=r["position_ids"], deltas=r["deltas"],
+            num_generations=1, max_new_tokens=max_new, temperature=0.0,
+        )
+        outs.append((o.sequences[0], int(o.lengths[0])))
+    return outs
+
+
+def test_batcher_matches_sampler_with_refill():
+    """More requests than slots, tiny chunks -> multiple refill cycles.
+    eos is chosen from an actual generated token so some prompts stop early
+    (exercising slot turnover) and others run to max_new."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    reqs = _prompts(cfg, [4, 7, 10, 5, 9, 6])
+    max_new = 12
+
+    probe = _sampler_reference(cfg, params, reqs, eos=-1, max_new=max_new)
+    eos = int(probe[0][0][4])  # token prompt 0 emits at position 4
+
+    expected = _sampler_reference(cfg, params, reqs, eos=eos,
+                                  max_new=max_new)
+    lengths = [n for _, n in expected]
+    assert min(lengths) < max_new, "eos choice must stop something early"
+    assert max(lengths) == max_new, "something must run to the cap"
+
+    b = ContinuousBatcher(
+        cfg, params, slots=2, prompt_len=16, max_new_tokens=max_new,
+        eos_token_id=eos, temperature=0.0, chunk_steps=3,
+        dtype=jnp.float32)
+    got = b.run(reqs)
+    for (eseq, elen), g in zip(expected, got):
+        assert g.length == elen, (elen, g.length)
+        np.testing.assert_array_equal(g.sequences[:elen], eseq[:elen])
+
+
+def test_batcher_single_chunk_all_slots():
+    """All requests fit the slot count; one big chunk, no refill."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(1), cfg, jnp.float32)
+    reqs = _prompts(cfg, [6, 6, 8], seed=2)
+    expected = _sampler_reference(cfg, params, reqs, eos=-1, max_new=6)
+
+    b = ContinuousBatcher(
+        cfg, params, slots=3, prompt_len=16, max_new_tokens=6,
+        eos_token_id=-1, temperature=0.0, chunk_steps=64,
+        dtype=jnp.float32)
+    got = b.run(reqs)
+    for (eseq, elen), g in zip(expected, got):
+        assert g.length == elen == 6
+        np.testing.assert_array_equal(g.sequences[:elen], eseq[:elen])
+
+
+def test_batcher_int8_weights_run():
+    """decode_quant='int8' serving path executes and terminates."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(2), cfg, jnp.float32)
+    reqs = _prompts(cfg, [5, 8], seed=3)
+    b = ContinuousBatcher(
+        cfg, params, slots=2, prompt_len=16, max_new_tokens=5,
+        eos_token_id=-1, temperature=0.0, chunk_steps=8,
+        decode_quant="int8", dtype=jnp.float32)
+    got = b.run(reqs)
+    assert [g.length for g in got] == [5, 5]
+
+
+def test_engine_generate_many_matches_generate():
+    """QwenEngine.generate_many (continuous batching) returns the same
+    greedy strings as the static-batched generate() for video prompts."""
+    from PIL import Image
+
+    from spacer_tpu.data import MockTokenizer, VLProcessor
+    from spacer_tpu.evalharness import QwenEngine
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    tok = MockTokenizer(vocab_size=cfg.text.vocab_size)
+    proc = VLProcessor(tok, cfg)
+    engine = QwenEngine(cfg, params, proc, attn_impl="xla", length_bucket=64)
+
+    rng = np.random.default_rng(0)
+
+    def frames(n, size):
+        return [
+            Image.fromarray(rng.integers(0, 256, (size, size, 3), np.uint8))
+            for _ in range(n)
+        ]
+
+    messages_list = [
+        [{"role": "user", "content": [
+            {"type": "video", "video": frames(2, 56)},
+            {"type": "text", "text": "what is this"},
+        ]}],
+        [{"role": "user", "content": [
+            {"type": "video", "video": frames(4, 112)},
+            {"type": "text", "text": "and this other longer question"},
+        ]}],
+        [{"role": "user", "content": [
+            {"type": "text", "text": "plain text prompt"},
+        ]}],
+    ]
+    ref = engine.generate(messages_list, max_new_tokens=5, temperature=0.0)
+    got = engine.generate_many(messages_list, max_new_tokens=5,
+                               temperature=0.0, slots=2, chunk_steps=2)
+    assert got == ref
