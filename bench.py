@@ -481,6 +481,110 @@ def bench_iteration(B=4, G=8, P_len=2048, C=1024, iters=3):
     }
 
 
+def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024):
+    """Continuous vs static serving goodput (tokens/sec) at 1.3B scale.
+
+    Requests carry variable completion budgets (the eval reality: answers
+    range from a letter to a 1k-token chain of thought).  Static batching
+    decodes every batch until its LONGEST budget; continuous batching
+    (serving/batcher.py) refills finished slots mid-flight.  Goodput =
+    sum(budgets) / wall time — both paths produce exactly the budgeted
+    tokens (eos never fires), so the comparison isolates scheduling.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from spacer_tpu.models.qwen25_vl.config import (
+        Qwen25VLConfig, TextConfig, VisionConfig,
+    )
+    from spacer_tpu.models.qwen25_vl import init_params
+    from spacer_tpu.sampler import Sampler
+    from spacer_tpu.serving import ContinuousBatcher
+
+    cfg = Qwen25VLConfig(
+        text=TextConfig(
+            vocab_size=49152, hidden_size=2048, intermediate_size=8192,
+            num_layers=12, num_heads=16, num_kv_heads=4,
+            mrope_section=(16, 24, 24),
+        ),
+        vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
+                            out_hidden_size=2048),
+    )
+    params = jax.jit(
+        lambda k: init_params(k, cfg, jnp.bfloat16)
+    )(jax.random.key(0))
+    jax.block_until_ready(params)
+    print("# serving init done", flush=True)
+
+    rng = np.random.default_rng(0)
+    budgets = np.exp(rng.uniform(np.log(64), np.log(Cmax), n_requests))
+    budgets = np.clip(budgets.astype(int), 64, Cmax)
+    reqs = []
+    for i in range(n_requests):
+        ids = rng.integers(10, 49000, size=(1, P_len)).astype(np.int32)
+        reqs.append({
+            "input_ids": ids,
+            "attention_mask": np.ones((1, P_len), np.int32),
+            "position_ids": np.broadcast_to(
+                np.arange(P_len)[None, None], (3, 1, P_len)
+            ).astype(np.int32),
+            "deltas": np.zeros((1, 1), np.int32),
+            "max_new_tokens": int(budgets[i]),
+        })
+    total_tokens = int(budgets.sum())
+
+    # --- continuous ---
+    def run_continuous():
+        b = ContinuousBatcher(
+            cfg, params, slots=slots, prompt_len=P_len,
+            max_new_tokens=Cmax, eos_token_id=-1, temperature=1.0,
+            top_p=0.95, chunk_steps=64, decode_quant="int8",
+        )
+        return b.run(reqs)
+
+    run_continuous()  # compile everything
+    print("# serving continuous compiled", flush=True)
+    t0 = time.perf_counter()
+    outs = run_continuous()
+    dt_cont = time.perf_counter() - t0
+    assert sum(o.length for o in outs) == total_tokens
+
+    # --- static (batched sampler, max budget per batch) ---
+    sampler = Sampler(cfg, eos_token_id=-1, pad_token_id=0,
+                      length_bucket=P_len, decode_quant="int8")
+
+    def run_static():
+        for s in range(0, n_requests, slots):
+            group = reqs[s:s + slots]
+            ids = np.concatenate([r["input_ids"] for r in group])
+            mask = np.concatenate([r["attention_mask"] for r in group])
+            pos = np.concatenate([r["position_ids"] for r in group], 1)
+            deltas = np.concatenate([r["deltas"] for r in group])
+            # bucket the per-batch budget to limit decode-program compiles
+            mx = -(-max(r["max_new_tokens"] for r in group) // 128) * 128
+            sampler.generate(
+                ids, mask, params, position_ids=pos, deltas=deltas,
+                num_generations=1, max_new_tokens=mx, temperature=1.0,
+                top_p=0.95, seed=s,
+            )
+
+    run_static()
+    print("# serving static compiled", flush=True)
+    t0 = time.perf_counter()
+    run_static()
+    dt_stat = time.perf_counter() - t0
+
+    return {
+        "metric": "serving_goodput_tokens_per_sec",
+        "value": round(total_tokens / dt_cont, 1),
+        "unit": "tokens/sec",
+        "vs_baseline": round(dt_stat / dt_cont, 3),  # speedup over static
+        "static_tokens_per_sec": round(total_tokens / dt_stat, 1),
+        "slots": slots, "requests": n_requests,
+        "prompt_len": P_len, "budget_range": [64, Cmax],
+    }
+
+
 def main(mode="all"):
     if mode == "encode":
         print(json.dumps(bench_encode()))
@@ -490,6 +594,9 @@ def main(mode="all"):
         return
     if mode == "iteration":
         print(json.dumps(bench_iteration()))
+        return
+    if mode == "serving":
+        print(json.dumps(bench_serving()))
         return
     # default headline: the full RL iteration (rollout + update), plus the
     # preprocess+encode throughput as a secondary field

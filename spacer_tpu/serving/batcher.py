@@ -9,25 +9,26 @@ a fixed number of decode slots busy instead:
 
   host                                 device (jit)
   ----                                 ------------
-  queue of requests       --prefill--> per-request prompt KV (one program)
-  free slot r             --insert---> scatter prompt KV into slot r
+  queue of requests       --admit----> prefill + KV insert into slot r
+                                       (ONE program per admission)
   every chunk_steps steps <--fetch---- done flags / emitted counts
-  finished slot harvested --refill---> next request prefills into the slot
+  finished slot harvested --admit----> next request refills the slot
 
 Decode runs in chunks of `chunk_steps` lax.while_loop iterations per jit
 call (early exit when every slot is done), with the state donated so the
-caches update in place.  Slots admitted at different times sit at different
-depths — the per-row write index / mask machinery lives in
-serving/ragged.py.
+caches update in place.  Slots admitted at different times sit at
+different depths — the clock-ring KV layout that makes the per-step write
+a plain dynamic_update_slice (no scatter) lives in serving/ragged.py.
 
 Design notes (TPU-first):
-- one merged cache per slot (prompt_len + max_new static length); no paged
-  KV — XLA wants static shapes, and at slot counts this small page tables
-  buy nothing over dense per-slot buffers.
-- prefill is its own jit at the prompt bucket width; admission cost is one
-  prompt forward, decoding slots stall for it (acceptable: prefill is
-  compute-bound and ~1 decode-chunk long; overlap would need a second
-  device).
+- per-slot prefix cache (prompt_len) + shared-clock completion ring
+  (max_new_tokens); no paged KV — XLA wants static shapes, and at slot
+  counts this small page tables buy nothing over dense per-slot buffers.
+- admission is ONE jit call (prefill forward + first-token sample + cache
+  insert); on a remote-relay backend per-call dispatch costs dominate
+  small programs, so fusing the admission path matters as much as the
+  math.  The vision prologue stays a separate program (static grid
+  shapes).
 - weights optionally int8 (ops/quant.py) — serving reads weights every
   step, same argument as the rollout sampler's decode_quant.
 """
@@ -37,7 +38,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from collections import deque
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -62,10 +63,29 @@ class ServedOutput:
     length: int             # emitted tokens incl. the first EOS
 
 
-@functools.partial(jax.jit, static_argnames=("text_cfg", "attn_impl"))
-def _prefill_jit(params, input_embeds, position_ids, prompt_mask,
-                 *, text_cfg, attn_impl=None):
-    """One-prompt prefill -> (k, v (L, Pmax, Hkv, Dh), last-token logits)."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("text_cfg", "attn_impl", "temperature", "top_p",
+                     "eos_token_id"),
+    donate_argnums=(0,),
+)
+def _admit_jit(state, params, input_ids, input_embeds, position_ids,
+               prompt_mask, delta, max_new, slot, *, text_cfg,
+               attn_impl=None, temperature, top_p, eos_token_id):
+    """Prefill one prompt and insert it into slot `slot` — one program.
+
+    input_embeds: (1, Pmax, D) left-padded (from the vision prologue), or
+    None for text-only requests — then the embedding lookup happens here,
+    folding the whole admission into a single dispatch (per-call dispatch
+    costs rival the prefill compute on a remote-relay backend).
+    delta/max_new/slot: scalars.
+    """
+    if input_embeds is None:
+        from spacer_tpu.nn.core import embed as embed_op
+
+        dtype = state["caches"][0][0].dtype
+        input_embeds = embed_op(
+            params["model"]["embed_tokens"], input_ids).astype(dtype)
     B, S, _ = input_embeds.shape
     cache = init_kv_cache(text_cfg, B, S, dtype=input_embeds.dtype)
     logits, cache = lm_forward(
@@ -73,29 +93,20 @@ def _prefill_jit(params, input_embeds, position_ids, prompt_mask,
         position_ids=position_ids, kv_mask=prompt_mask.astype(bool),
         cache=cache, cache_index=0, attn_impl=attn_impl,
     )
-    return cache["k"][:, 0], cache["v"][:, 0], logits[0, -1]
+    pk_all, pv_all = cache["k"][:, 0], cache["v"][:, 0]  # (L, Pmax, ...)
 
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("text_cfg", "temperature", "top_p", "eos_token_id"),
-    donate_argnums=(0,),
-)
-def _insert_jit(state, pk, pv, logits, pmask_row, delta, max_new, slot,
-                *, text_cfg, temperature, top_p, eos_token_id):
-    """Admit a prefilled request into slot `slot` (dynamic scalar index)."""
     L = text_cfg.num_layers
     caches = list(state["caches"])
     for l in range(L):
-        ck, cv = caches[l]
-        ck = jax.lax.dynamic_update_slice(
-            ck, pk[l][None].astype(ck.dtype), (slot, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, pv[l][None].astype(cv.dtype), (slot, 0, 0, 0))
-        caches[l] = (ck, cv)
+        pk, pv, tk, tv = caches[l]
+        pk = jax.lax.dynamic_update_slice(
+            pk, pk_all[l][None].astype(pk.dtype), (slot, 0, 0, 0))
+        pv = jax.lax.dynamic_update_slice(
+            pv, pv_all[l][None].astype(pv.dtype), (slot, 0, 0, 0))
+        caches[l] = (pk, pv, tk, tv)
 
     rng, sub = jax.random.split(state["rng"])
-    first = sample_logits(logits[None], sub, temperature, top_p)[0]
+    first = sample_logits(logits[:, -1], sub, temperature, top_p)[0]
     first = first.astype(jnp.int32)
 
     def at(arr, val):
@@ -106,14 +117,16 @@ def _insert_jit(state, pk, pv, logits, pmask_row, delta, max_new, slot,
     out_row = jnp.zeros((state["out"].shape[1],), jnp.int32).at[0].set(first)
     return {
         "caches": tuple(caches),
-        "pmask": at(state["pmask"], pmask_row),
+        "pmask": at(state["pmask"], prompt_mask[0]),
         "delta": at(state["delta"], delta),
+        "admit": at(state["admit"], state["clock"]),
         "cur": at(state["cur"], first),
         "t": at(state["t"], 1),
         "done": at(state["done"],
                    (first == eos_token_id) | (max_new <= 1)),
         "maxnew": at(state["maxnew"], max_new),
         "out": at(state["out"], out_row),
+        "clock": state["clock"],
         "rng": rng,
     }
 
@@ -126,58 +139,64 @@ def _insert_jit(state, pk, pv, logits, pmask_row, delta, max_new, slot,
 )
 def _chunk_jit(state, layer_params, other_params, *, text_cfg, chunk_steps,
                temperature, top_p, eos_token_id):
-    """Run up to chunk_steps ragged decode steps (early exit on all-done)."""
+    """Run up to chunk_steps ring decode steps (early exit on all-done)."""
     L = text_cfg.num_layers
     layers = split_layers(layer_params, L)
     R, Pmax = state["pmask"].shape
     Cmax = state["out"].shape[1]
-    tail_iota = jnp.arange(Cmax)
+    ring_iota = jnp.arange(Cmax)
     rows = jnp.arange(R)
+    pmask = state["pmask"].astype(bool)
+    admit = state["admit"]
+    delta = state["delta"]
+    maxnew = state["maxnew"]
 
     def body(carry):
-        i, caches, cur, t, done, out, rng = carry
+        i, caches, cur, t, done, out, clock, rng = carry
         was_done = done
-        # cur is token #(t-1): its KV writes at Pmax+t-1, rope position is
-        # prompt_len + delta + (t-1) on all three axes (text-only decode)
-        widx = Pmax + t - 1
-        pos = (Pmax + state["delta"] + t - 1).astype(jnp.int32)
+        ring_idx = jnp.mod(clock, Cmax)
+        # cur is token #(t-1): rope position prompt_len + delta + (t-1);
+        # its KV lands at ring position clock % Cmax, and for an active row
+        # (clock - admit) == t - 1, so the ring window mask
+        # (j - admit) mod Cmax < t covers it.
+        pos = (Pmax + delta + t - 1).astype(jnp.int32)
         pos3 = jnp.broadcast_to(pos[None, :, None], (3, R, 1))
-        kv_mask = jnp.concatenate(
-            [state["pmask"].astype(bool),
-             tail_iota[None, :] <= (t - 1)[:, None]], axis=1)
+        rel = jnp.mod(ring_iota[None, :] - admit[:, None], Cmax)
+        ring_mask = rel < t[:, None]
         logits, caches = ragged_decode_step(
-            layers, other_params, text_cfg, cur, pos3, caches, widx, kv_mask)
+            layers, other_params, text_cfg, cur, pos3, caches,
+            ring_idx, pmask, ring_mask)
         rng, sub = jax.random.split(rng)
         nxt = sample_logits(logits, sub, temperature, top_p).astype(jnp.int32)
         tw = jnp.minimum(t, Cmax - 1)
-        keep = out[rows, tw]
-        out = out.at[rows, tw].set(jnp.where(was_done, keep, nxt))
+        keep_tok = out[rows, tw]
+        out = out.at[rows, tw].set(jnp.where(was_done, keep_tok, nxt))
         t = jnp.where(was_done, t, t + 1)
-        done = was_done | (nxt == eos_token_id) | (t >= state["maxnew"])
+        done = was_done | (nxt == eos_token_id) | (t >= maxnew)
         cur = jnp.where(was_done, cur, nxt)
-        return i + 1, caches, cur, t, done, out, rng
+        return i + 1, caches, cur, t, done, out, clock + 1, rng
 
     def cond(carry):
-        i, _, _, _, done, _, _ = carry
+        i, _, _, _, done, _, _, _ = carry
         return (i < chunk_steps) & ~jnp.all(done)
 
     init = (jnp.int32(0), state["caches"], state["cur"], state["t"],
-            state["done"], state["out"], state["rng"])
-    _, caches, cur, t, done, out, rng = jax.lax.while_loop(cond, body, init)
+            state["done"], state["out"], state["clock"], state["rng"])
+    _, caches, cur, t, done, out, clock, rng = jax.lax.while_loop(
+        cond, body, init)
     return {
         "caches": caches, "pmask": state["pmask"], "delta": state["delta"],
-        "cur": cur, "t": t, "done": done, "maxnew": state["maxnew"],
-        "out": out, "rng": rng,
+        "admit": state["admit"], "cur": cur, "t": t, "done": done,
+        "maxnew": state["maxnew"], "out": out, "clock": clock, "rng": rng,
     }
 
 
 class ContinuousBatcher:
-    """Slot-based continuous batching over the ragged decode step.
+    """Slot-based continuous batching over the clock-ring decode step.
 
-    run() drives a request list to completion; submit()/drain() expose the
-    same machinery incrementally.  All requests share one static geometry
-    (prompt_len bucket, max completion length) — callers bucket by prompt
-    length if their mix is wide.
+    run() drives a request list to completion.  All requests share one
+    static geometry (prompt_len bucket, max completion length) — callers
+    bucket by prompt length if their mix is wide.
     """
 
     def __init__(self, cfg, params, *, slots: int = 8,
@@ -222,18 +241,22 @@ class ContinuousBatcher:
         self.other_params = other
 
         tc = cfg.text
-        shape = (self.R, self.Pmax + self.Cmax, tc.num_kv_heads, tc.head_dim)
+        pshape = (self.R, self.Pmax, tc.num_kv_heads, tc.head_dim)
+        tshape = (self.R, self.Cmax, tc.num_kv_heads, tc.head_dim)
         self.state = {
             "caches": tuple(
-                (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                (jnp.zeros(pshape, dtype), jnp.zeros(pshape, dtype),
+                 jnp.zeros(tshape, dtype), jnp.zeros(tshape, dtype))
                 for _ in range(tc.num_layers)),
             "pmask": jnp.zeros((self.R, self.Pmax), jnp.int32),
             "delta": jnp.zeros((self.R,), jnp.int32),
+            "admit": jnp.zeros((self.R,), jnp.int32),
             "cur": jnp.zeros((self.R,), jnp.int32),
             "t": jnp.zeros((self.R,), jnp.int32),
             "done": jnp.ones((self.R,), bool),   # empty slots read as done
             "maxnew": jnp.zeros((self.R,), jnp.int32),
             "out": jnp.zeros((self.R, self.Cmax), jnp.int32),
+            "clock": jnp.int32(0),
             "rng": jax.random.key(seed),
         }
         self._slot_req: list[Optional[int]] = [None] * self.R
@@ -260,31 +283,51 @@ class ContinuousBatcher:
             delta -= pad
         return ids, mask, pos, delta
 
-    def _prefill(self, req: dict):
+    def _admit(self, req: dict, budget: int, slot: int):
         ids, mask, pos, delta = self._pad_request(req)
         vk = {k: jnp.asarray(v)
               for k, v in (req.get("vision_kwargs") or {}).items()}
-        embeds = _prologue_jit(
-            self.params, jnp.asarray(ids), vk, cfg=self.cfg,
-            grid_thw=req.get("grid_thw"), attn_impl=self.attn_impl,
-            family_name=self.family.name,
-        ).astype(self.dtype)
-        pk, pv, logits = _prefill_jit(
-            self.params, embeds, jnp.asarray(pos), jnp.asarray(mask),
+        if vk:
+            embeds = _prologue_jit(
+                self.params, jnp.asarray(ids), vk, cfg=self.cfg,
+                grid_thw=req.get("grid_thw"), attn_impl=self.attn_impl,
+                family_name=self.family.name,
+            ).astype(self.dtype)
+        else:
+            embeds = None  # text-only: embed inside the admission program
+        self.state = _admit_jit(
+            self.state, self.params, jnp.asarray(ids), embeds,
+            jnp.asarray(pos), jnp.asarray(mask.astype(np.int32)),
+            jnp.int32(delta), jnp.int32(budget), jnp.int32(slot),
             text_cfg=self.cfg.text, attn_impl=self.attn_impl,
-        )
-        return pk, pv, logits, mask[0], delta
+            temperature=self.temperature, top_p=self.top_p,
+            eos_token_id=self.eos)
 
     # -- serving loop ----------------------------------------------------
 
     def run(self, requests: Sequence[dict],
             max_new_tokens: Optional[int] = None) -> list[ServedOutput]:
-        """Drive all requests to completion; returns outputs in order."""
+        """Drive all requests to completion; returns outputs in order.
+
+        A request may carry its own "max_new_tokens" (clamped to the
+        bucket); otherwise `max_new_tokens` (default: the bucket) applies.
+        """
         max_new = int(max_new_tokens or self.Cmax)
         if max_new > self.Cmax:
             raise ValueError(f"max_new {max_new} exceeds bucket {self.Cmax}")
         results: list[Optional[ServedOutput]] = [None] * len(requests)
-        queue = deque(enumerate(requests))
+
+        def budget_of(req):
+            return min(int(req.get("max_new_tokens", max_new)), self.Cmax)
+
+        # longest-declared-budget-first (LPT): with heterogeneous budgets
+        # this keeps the drain phase short — a 1024-budget request admitted
+        # last would otherwise run alone at the end.  Declared budgets only
+        # (actual EOS lengths are unknowable in advance); results keep the
+        # caller's order.
+        order = sorted(range(len(requests)),
+                       key=lambda i: -budget_of(requests[i]))
+        queue = deque((i, requests[i]) for i in order)
         kw = dict(text_cfg=self.cfg.text, temperature=self.temperature,
                   top_p=self.top_p, eos_token_id=self.eos)
 
@@ -292,24 +335,23 @@ class ContinuousBatcher:
             for r in range(self.R):
                 if self._slot_req[r] is None and queue:
                     i, req = queue.popleft()
-                    pk, pv, logits, pmask_row, delta = self._prefill(req)
-                    self.state = _insert_jit(
-                        self.state, pk, pv, logits,
-                        jnp.asarray(pmask_row.astype(np.int32)),
-                        jnp.int32(delta), jnp.int32(max_new), jnp.int32(r),
-                        **kw)
+                    self._admit(req, budget_of(req), r)
                     self._slot_req[r] = i
 
             self.state = _chunk_jit(
                 self.state, self.layer_params, self.other_params,
                 chunk_steps=self.chunk_steps, **kw)
 
+            # fetch the small per-slot flags every chunk; the (R, Cmax)
+            # token buffer only moves host-side when something finished
             done = np.asarray(self.state["done"])
             ts = np.asarray(self.state["t"])
-            out = np.asarray(self.state["out"])
-            for r in range(self.R):
-                i = self._slot_req[r]
-                if i is not None and bool(done[r]):
+            finished = [r for r in range(self.R)
+                        if self._slot_req[r] is not None and bool(done[r])]
+            if finished:
+                out = np.asarray(self.state["out"])
+                for r in finished:
+                    i = self._slot_req[r]
                     seq = out[r]
                     cmask = completion_mask_from_ids(seq[None], self.eos)[0]
                     length = int(min(cmask.sum(), ts[r]))

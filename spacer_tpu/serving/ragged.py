@@ -1,24 +1,29 @@
-"""Ragged (per-row position) decode step for continuous batching.
+"""Ragged (per-row progress) decode step for continuous batching.
 
 The grouped sampler (sampler/sampler.py) decodes B*G rows in LOCKSTEP: one
-scalar tail index, every row at the same depth.  Continuous batching breaks
-that invariant — each slot holds an independent request admitted at a
-different time, so each row writes its KV at its OWN index and masks its
-own valid range.  This module provides that decode step over a single
-merged per-slot cache of static length T = prompt_len + max_new_tokens:
+scalar tail index, every row at the same depth.  Continuous batching
+breaks that invariant — each slot holds an independent request admitted at
+a different time.  A naive per-row write index needs a scatter (24 per
+step at 12 layers), which is slow on TPU and costs ~1 ms/step over the
+lockstep path at 1.3B scale.
 
-  cache[r, :prompt_len]   left-padded prompt KV (prefix), masked by the
-                          row's prompt mask
-  cache[r, prompt_len:]   completion KV, masked by the row's emitted count
+Clock-ring design instead: slots advance in lockstep with a GLOBAL step
+clock, so every active row's next KV always lands at the same ring index
+`clock % Cmax` — a plain dynamic_update_slice across all rows, exactly the
+op the grouped decoder uses.  Per-row raggedness moves entirely into the
+MASK: a row admitted at clock a with t emitted tokens owns the ring window
+{j : (j - a) mod Cmax < t}, which is contiguous-with-wraparound and never
+self-collides because a request lives at most Cmax steps.  Rows that are
+done (or empty) must not stomp the ring — their write is protected by
+re-writing the existing value (one (R, Hkv, Dh) dynamic_slice, cheap).
 
-The per-row write is a scatter (`.at[arange(R), widx].set`) — one row per
-slot per step, so the scattered payload is tiny; XLA keeps the cache
-buffer in place inside the serving while_loop (donated state).
+Cache layout per layer:
+  pk/pv: (R, Pmax, Hkv, Dh)  prompt prefix, written at admission
+  tk/tv: (R, Cmax, Hkv, Dh)  completion ring, written at clock % Cmax
 
 This is the TPU counterpart of the reference's vLLM serving role
-(vllm_grpo_trainer_modified.py:359-384 batches all ranks' prompts through
-one engine); slot refill happens on the host between chunks
-(serving/batcher.py).
+(vllm_grpo_trainer_modified.py:359-384); slot admission happens on the
+host between chunks (serving/batcher.py).
 """
 
 from __future__ import annotations
@@ -32,15 +37,23 @@ from spacer_tpu.nn.core import dense, embed, rms_norm
 from spacer_tpu.nn.rope import apply_rope, mrope_cos_sin, rope_inv_freq
 
 
-def _ragged_layer(h, layer_params, ck, cv, *, cfg: TextConfig, cos, sin,
-                  widx, kv_mask):
-    """One decoder layer over the merged ragged cache.
+def _ragged_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
+                  cos, sin, ring_idx, prefix_mask, ring_mask):
+    """One decoder layer over prefix + clock-ring caches.
 
-    h: (R, 1, D); ck/cv: (R, T, Hkv, Dh); widx: (R,) per-row write index;
-    kv_mask: (R, T) valid positions INCLUDING the one written this step.
+    h: (R, 1, D); pk/pv: (R, Pmax, Hkv, Dh); tk/tv: (R, Cmax, Hkv, Dh);
+    ring_idx: scalar clock % Cmax; prefix_mask: (R, Pmax);
+    ring_mask: (R, Cmax) valid ring positions INCLUDING the one written.
+
+    Every row writes unconditionally, even done/empty ones.  That is safe:
+    a row's mask window {(j - admit) mod Cmax < t} only ever admits a ring
+    position at exactly the step whose write lands there (rel of the write
+    index is t-1), and writes precede reads in this layer — so stale or
+    garbage entries from a previous occupant of the slot are never read.
     """
     R, _, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    P = pk.shape[1]
     p_attn = layer_params["self_attn"]
 
     x = rms_norm(layer_params["input_layernorm"], h, cfg.rms_norm_eps)
@@ -49,28 +62,36 @@ def _ragged_layer(h, layer_params, ck, cv, *, cfg: TextConfig, cos, sin,
     v = dense(p_attn["v_proj"], x).reshape(R, 1, Hkv, Dh)
     q, k = apply_rope(q, k, cos, sin)
 
-    rows = jnp.arange(R)
-    ck = ck.at[rows, widx].set(k[:, 0].astype(ck.dtype))
-    cv = cv.at[rows, widx].set(v[:, 0].astype(cv.dtype))
+    tk = jax.lax.dynamic_update_slice(
+        tk, k.astype(tk.dtype), (0, ring_idx, 0, 0))
+    tv = jax.lax.dynamic_update_slice(
+        tv, v.astype(tv.dtype), (0, ring_idx, 0, 0))
 
     # same numerical contract as the grouped decode layer: operands in the
     # cache dtype, f32 accumulation, masking/softmax on the f32 logits
     scale = Dh ** -0.5
     group_q = H // Hkv
     qf = q.reshape(R, Hkv, group_q, Dh)
-    logits = jnp.einsum("rhgd,rthd->rhgt", qf, ck.astype(qf.dtype),
-                        preferred_element_type=jnp.float32) * scale
-    logits = jnp.where(kv_mask[:, None, None, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("rhgt,rthd->rhgd", probs.astype(h.dtype),
-                     cv.astype(h.dtype),
-                     preferred_element_type=jnp.float32).astype(h.dtype)
+    lp = jnp.einsum("rhgd,rthd->rhgt", qf, pk.astype(h.dtype),
+                    preferred_element_type=jnp.float32) * scale
+    lp = jnp.where(prefix_mask[:, None, None, :], lp, -1e30)
+    lt = jnp.einsum("rhgd,rthd->rhgt", qf, tk.astype(h.dtype),
+                    preferred_element_type=jnp.float32) * scale
+    lt = jnp.where(ring_mask[:, None, None, :], lt, -1e30)
+    full = jnp.concatenate([lp, lt], axis=-1)
+    probs = jax.nn.softmax(full, axis=-1).astype(h.dtype)
+    out = (
+        jnp.einsum("rhgt,rthd->rhgd", probs[..., :P], pv.astype(h.dtype),
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("rhgt,rthd->rhgd", probs[..., P:], tv.astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+    ).astype(h.dtype)
     h = h + dense(p_attn["o_proj"], out.reshape(R, 1, H * Dh))
 
     x = rms_norm(layer_params["post_attention_layernorm"], h,
                  cfg.rms_norm_eps)
     h = h + _mlp_block(layer_params["mlp"], x, cfg)
-    return h, ck, cv
+    return h, pk, pv, tk, tv
 
 
 def ragged_decode_step(
@@ -79,23 +100,25 @@ def ragged_decode_step(
     cfg: TextConfig,
     cur,             # (R,) int32 current input token per slot
     pos3,            # (3, R, 1) rope positions for the current token
-    caches,          # tuple of L (ck, cv): (R, T, Hkv, Dh)
-    widx,            # (R,) int32 write index for the current token's KV
-    kv_mask,         # (R, T) bool valid positions incl. the current one
+    caches,          # tuple of L (pk, pv, tk, tv)
+    ring_idx,        # scalar int32: clock % Cmax
+    prefix_mask,     # (R, Pmax) bool
+    ring_mask,       # (R, Cmax) bool valid ring positions incl. current
 ):
-    """One ragged decode step -> (logits (R, V), new caches)."""
+    """One clock-ring decode step -> (logits (R, V), new caches)."""
     h = embed(params["embed_tokens"], cur[:, None])
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
     cos, sin = mrope_cos_sin(pos3, inv_freq, cfg.mrope_section)
 
     new = []
     for l in range(cfg.num_layers):
-        ck, cv = caches[l]
-        h, ck, cv = _ragged_layer(
-            h, layers[l], ck, cv, cfg=cfg, cos=cos, sin=sin,
-            widx=widx, kv_mask=kv_mask,
+        pk, pv, tk, tv = caches[l]
+        h, pk, pv, tk, tv = _ragged_layer(
+            h, layers[l], pk, pv, tk, tv, cfg=cfg, cos=cos, sin=sin,
+            ring_idx=ring_idx, prefix_mask=prefix_mask,
+            ring_mask=ring_mask,
         )
-        new.append((ck, cv))
+        new.append((pk, pv, tk, tv))
 
     h = rms_norm(params["norm"], h, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
