@@ -538,7 +538,7 @@ def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024):
         b = ContinuousBatcher(
             cfg, params, slots=slots, prompt_len=P_len,
             max_new_tokens=Cmax, eos_token_id=-1, temperature=1.0,
-            top_p=0.95, chunk_steps=64, decode_quant="int8",
+            top_p=0.95, chunk_steps=64, decode_quant="int8_kv",
         )
         return b.run(reqs)
 

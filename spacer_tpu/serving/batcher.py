@@ -83,9 +83,7 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
     if input_embeds is None:
         from spacer_tpu.nn.core import embed as embed_op
 
-        dtype = state["caches"][0][0].dtype
-        input_embeds = embed_op(
-            params["model"]["embed_tokens"], input_ids).astype(dtype)
+        input_embeds = embed_op(params["model"]["embed_tokens"], input_ids)
     B, S, _ = input_embeds.shape
     cache = init_kv_cache(text_cfg, B, S, dtype=input_embeds.dtype)
     logits, cache = lm_forward(
@@ -97,13 +95,29 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
 
     L = text_cfg.num_layers
     caches = list(state["caches"])
+    quant = len(caches[0]) == 8
+    if quant:
+        from spacer_tpu.ops.quant import quantize_kv
+
+        pk_q, pk_s = quantize_kv(pk_all)
+        pv_q, pv_s = quantize_kv(pv_all)
     for l in range(L):
-        pk, pv, tk, tv = caches[l]
+        entry = caches[l]
         pk = jax.lax.dynamic_update_slice(
-            pk, pk_all[l][None].astype(pk.dtype), (slot, 0, 0, 0))
+            entry[0], (pk_q if quant else pk_all)[l][None].astype(
+                entry[0].dtype), (slot, 0, 0, 0))
         pv = jax.lax.dynamic_update_slice(
-            pv, pv_all[l][None].astype(pv.dtype), (slot, 0, 0, 0))
-        caches[l] = (pk, pv, tk, tv)
+            entry[1], (pv_q if quant else pv_all)[l][None].astype(
+                entry[1].dtype), (slot, 0, 0, 0))
+        if quant:
+            pk_sc = jax.lax.dynamic_update_slice(
+                entry[4], pk_s[l][None], (slot, 0, 0))
+            pv_sc = jax.lax.dynamic_update_slice(
+                entry[5], pv_s[l][None], (slot, 0, 0))
+            caches[l] = (pk, pv, entry[2], entry[3],
+                         pk_sc, pv_sc, entry[6], entry[7])
+        else:
+            caches[l] = (pk, pv, entry[2], entry[3])
 
     rng, sub = jax.random.split(state["rng"])
     first = sample_logits(logits[:, -1], sub, temperature, top_p)[0]
@@ -243,11 +257,27 @@ class ContinuousBatcher:
         tc = cfg.text
         pshape = (self.R, self.Pmax, tc.num_kv_heads, tc.head_dim)
         tshape = (self.R, self.Cmax, tc.num_kv_heads, tc.head_dim)
+        if decode_quant == "int8_kv":
+            # int8 codes + (R, T, Hkv) f32 scales, read via the same
+            # logit/prob scale-folding as the grouped decoder; fresh
+            # buffers per layer (donation must never see aliased inputs)
+            def mk_entry():
+                return (
+                    jnp.zeros(pshape, jnp.int8), jnp.zeros(pshape, jnp.int8),
+                    jnp.zeros(tshape, jnp.int8), jnp.zeros(tshape, jnp.int8),
+                    jnp.zeros(pshape[:-1], jnp.float32),
+                    jnp.zeros(pshape[:-1], jnp.float32),
+                    jnp.zeros(tshape[:-1], jnp.float32),
+                    jnp.zeros(tshape[:-1], jnp.float32),
+                )
+        else:
+            def mk_entry():
+                return (
+                    jnp.zeros(pshape, dtype), jnp.zeros(pshape, dtype),
+                    jnp.zeros(tshape, dtype), jnp.zeros(tshape, dtype),
+                )
         self.state = {
-            "caches": tuple(
-                (jnp.zeros(pshape, dtype), jnp.zeros(pshape, dtype),
-                 jnp.zeros(tshape, dtype), jnp.zeros(tshape, dtype))
-                for _ in range(tc.num_layers)),
+            "caches": tuple(mk_entry() for _ in range(tc.num_layers)),
             "pmask": jnp.zeros((self.R, self.Pmax), jnp.int32),
             "delta": jnp.zeros((self.R,), jnp.int32),
             "admit": jnp.zeros((self.R,), jnp.int32),

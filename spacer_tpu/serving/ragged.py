@@ -37,11 +37,16 @@ from spacer_tpu.nn.core import dense, embed, rms_norm
 from spacer_tpu.nn.rope import apply_rope, mrope_cos_sin, rope_inv_freq
 
 
-def _ragged_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
+def _ragged_layer(h, layer_params, cache_entry, *, cfg: TextConfig,
                   cos, sin, ring_idx, prefix_mask, ring_mask):
     """One decoder layer over prefix + clock-ring caches.
 
-    h: (R, 1, D); pk/pv: (R, Pmax, Hkv, Dh); tk/tv: (R, Cmax, Hkv, Dh);
+    h: (R, 1, D).  cache_entry is (pk, pv, tk, tv) with pk/pv
+    (R, Pmax, Hkv, Dh) and tk/tv (R, Cmax, Hkv, Dh) — or the int8 8-tuple
+    (pk, pv, tk, tv, pk_sc, pv_sc, tk_sc, tv_sc) with int8 codes and
+    (R, T, Hkv) f32 scales (ops/quant.py quantize_kv); the scales fold
+    into the logits (K) / softmax probs (V) exactly as in the grouped
+    decoder, so dequant never materializes.
     ring_idx: scalar clock % Cmax; prefix_mask: (R, Pmax);
     ring_mask: (R, Cmax) valid ring positions INCLUDING the one written.
 
@@ -53,6 +58,10 @@ def _ragged_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
     """
     R, _, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    pk, pv, tk, tv = cache_entry[:4]
+    quant = len(cache_entry) == 8
+    if quant:
+        pk_sc, pv_sc, tk_sc, tv_sc = cache_entry[4:]
     P = pk.shape[1]
     p_attn = layer_params["self_attn"]
 
@@ -62,10 +71,22 @@ def _ragged_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
     v = dense(p_attn["v_proj"], x).reshape(R, 1, Hkv, Dh)
     q, k = apply_rope(q, k, cos, sin)
 
-    tk = jax.lax.dynamic_update_slice(
-        tk, k.astype(tk.dtype), (0, ring_idx, 0, 0))
-    tv = jax.lax.dynamic_update_slice(
-        tv, v.astype(tv.dtype), (0, ring_idx, 0, 0))
+    if quant:
+        from spacer_tpu.ops.quant import quantize_kv
+
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        tk = jax.lax.dynamic_update_slice(tk, kq, (0, ring_idx, 0, 0))
+        tv = jax.lax.dynamic_update_slice(tv, vq, (0, ring_idx, 0, 0))
+        tk_sc = jax.lax.dynamic_update_slice(tk_sc, ks, (0, ring_idx, 0))
+        tv_sc = jax.lax.dynamic_update_slice(tv_sc, vs, (0, ring_idx, 0))
+        new_entry = (pk, pv, tk, tv, pk_sc, pv_sc, tk_sc, tv_sc)
+    else:
+        tk = jax.lax.dynamic_update_slice(
+            tk, k.astype(tk.dtype), (0, ring_idx, 0, 0))
+        tv = jax.lax.dynamic_update_slice(
+            tv, v.astype(tv.dtype), (0, ring_idx, 0, 0))
+        new_entry = (pk, pv, tk, tv)
 
     # same numerical contract as the grouped decode layer: operands in the
     # cache dtype, f32 accumulation, masking/softmax on the f32 logits
@@ -74,16 +95,25 @@ def _ragged_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
     qf = q.reshape(R, Hkv, group_q, Dh)
     lp = jnp.einsum("rhgd,rthd->rhgt", qf, pk.astype(h.dtype),
                     preferred_element_type=jnp.float32) * scale
-    lp = jnp.where(prefix_mask[:, None, None, :], lp, -1e30)
     lt = jnp.einsum("rhgd,rthd->rhgt", qf, tk.astype(h.dtype),
                     preferred_element_type=jnp.float32) * scale
+    if quant:
+        lp = lp * jnp.transpose(pk_sc, (0, 2, 1))[:, :, None, :]
+        lt = lt * jnp.transpose(tk_sc, (0, 2, 1))[:, :, None, :]
+    lp = jnp.where(prefix_mask[:, None, None, :], lp, -1e30)
     lt = jnp.where(ring_mask[:, None, None, :], lt, -1e30)
     full = jnp.concatenate([lp, lt], axis=-1)
-    probs = jax.nn.softmax(full, axis=-1).astype(h.dtype)
+    probs = jax.nn.softmax(full, axis=-1)
+    probs_p, probs_t = probs[..., :P], probs[..., P:]
+    if quant:
+        probs_p = probs_p * jnp.transpose(pv_sc, (0, 2, 1))[:, :, None, :]
+        probs_t = probs_t * jnp.transpose(tv_sc, (0, 2, 1))[:, :, None, :]
     out = (
-        jnp.einsum("rhgt,rthd->rhgd", probs[..., :P], pv.astype(h.dtype),
+        jnp.einsum("rhgt,rthd->rhgd", probs_p.astype(h.dtype),
+                   pv.astype(h.dtype),
                    preferred_element_type=jnp.float32)
-        + jnp.einsum("rhgt,rthd->rhgd", probs[..., P:], tv.astype(h.dtype),
+        + jnp.einsum("rhgt,rthd->rhgd", probs_t.astype(h.dtype),
+                     tv.astype(h.dtype),
                      preferred_element_type=jnp.float32)
     ).astype(h.dtype)
     h = h + dense(p_attn["o_proj"], out.reshape(R, 1, H * Dh))
@@ -91,7 +121,7 @@ def _ragged_layer(h, layer_params, pk, pv, tk, tv, *, cfg: TextConfig,
     x = rms_norm(layer_params["post_attention_layernorm"], h,
                  cfg.rms_norm_eps)
     h = h + _mlp_block(layer_params["mlp"], x, cfg)
-    return h, pk, pv, tk, tv
+    return h, new_entry
 
 
 def ragged_decode_step(
@@ -100,7 +130,7 @@ def ragged_decode_step(
     cfg: TextConfig,
     cur,             # (R,) int32 current input token per slot
     pos3,            # (3, R, 1) rope positions for the current token
-    caches,          # tuple of L (pk, pv, tk, tv)
+    caches,          # tuple of L (pk, pv, tk, tv) or int8 8-tuples
     ring_idx,        # scalar int32: clock % Cmax
     prefix_mask,     # (R, Pmax) bool
     ring_mask,       # (R, Cmax) bool valid ring positions incl. current
@@ -112,13 +142,12 @@ def ragged_decode_step(
 
     new = []
     for l in range(cfg.num_layers):
-        pk, pv, tk, tv = caches[l]
-        h, pk, pv, tk, tv = _ragged_layer(
-            h, layers[l], pk, pv, tk, tv, cfg=cfg, cos=cos, sin=sin,
+        h, entry = _ragged_layer(
+            h, layers[l], caches[l], cfg=cfg, cos=cos, sin=sin,
             ring_idx=ring_idx, prefix_mask=prefix_mask,
             ring_mask=ring_mask,
         )
-        new.append((pk, pv, tk, tv))
+        new.append(entry)
 
     h = rms_norm(params["norm"], h, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:

@@ -102,6 +102,29 @@ def test_batcher_int8_weights_run():
     assert [g.length for g in got] == [5, 5]
 
 
+def test_batcher_int8_kv_runs_with_refill():
+    """int8_kv serving (quantized prefix + ring caches) across refill
+    cycles: terminates, respects per-request budgets, and agrees with
+    the bf16 serving path on most greedy tokens (int8 noise can flip
+    near-tie argmaxes at tiny random scale, so exact match is not
+    required — see test_quant.py for the step-level logit bound)."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(2), cfg, jnp.float32)
+    reqs = _prompts(cfg, [5, 8, 11, 6], seed=4)
+    for i, r in enumerate(reqs):
+        r["max_new_tokens"] = [9, 4, 7, 9][i]
+    kw = dict(slots=2, prompt_len=16, max_new_tokens=9, eos_token_id=-1,
+              temperature=0.0, chunk_steps=3, dtype=jnp.float32)
+    ref = ContinuousBatcher(cfg, params, **kw).run(reqs)
+    got = ContinuousBatcher(cfg, params, decode_quant="int8_kv",
+                            **kw).run(reqs)
+    assert [g.length for g in got] == [r.length for r in ref] == [9, 4, 7, 9]
+    agree = np.mean([
+        (g.sequences[:g.length] == r.sequences[:r.length]).mean()
+        for g, r in zip(got, ref)])
+    assert agree >= 0.5, agree
+
+
 def test_engine_generate_many_matches_generate():
     """QwenEngine.generate_many (continuous batching) returns the same
     greedy strings as the static-batched generate() for video prompts."""
