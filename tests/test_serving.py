@@ -164,3 +164,40 @@ def test_engine_generate_many_matches_generate():
     got = engine.generate_many(messages_list, max_new_tokens=5,
                                temperature=0.0, slots=2, chunk_steps=2)
     assert got == ref
+
+
+def test_batcher_serves_aria_family():
+    """The serving engine is family-generic: the MoE feed-forward (Aria)
+    dispatches through the shared _mlp_block inside the ragged layer, and
+    greedy outputs match the grouped Sampler per prompt."""
+    from spacer_tpu.models.aria.config import tiny_aria_config
+    from spacer_tpu.models.aria.model import init_params as aria_init
+    from spacer_tpu.models.registry import aria_positions
+
+    cfg = tiny_aria_config()
+    params = aria_init(jax.random.key(0), cfg, jnp.float32)
+    rng = np.random.RandomState(5)
+    reqs = []
+    for S in [5, 9, 7]:
+        ids = rng.randint(10, cfg.text.vocab_size, size=(1, S)).astype(
+            np.int32)
+        mask = np.ones((1, S), np.int32)
+        pos3, deltas = aria_positions(cfg, ids, mask)
+        reqs.append({"input_ids": ids, "attention_mask": mask,
+                     "position_ids": pos3, "deltas": deltas})
+
+    s = Sampler(cfg, eos_token_id=-1, length_bucket=16)
+    expected = []
+    for r in reqs:
+        o = s.generate(r["input_ids"], r["attention_mask"], params,
+                       position_ids=r["position_ids"], deltas=r["deltas"],
+                       num_generations=1, max_new_tokens=6, temperature=0.0)
+        expected.append(o.sequences[0])
+
+    b = ContinuousBatcher(
+        cfg, params, slots=2, prompt_len=16, max_new_tokens=6,
+        eos_token_id=-1, temperature=0.0, chunk_steps=4, dtype=jnp.float32)
+    got = b.run(reqs)
+    for e, g in zip(expected, got):
+        assert g.length == 6
+        np.testing.assert_array_equal(g.sequences[:6], e[:6])
