@@ -201,3 +201,30 @@ def test_batcher_serves_aria_family():
     for e, g in zip(expected, got):
         assert g.length == 6
         np.testing.assert_array_equal(g.sequences[:6], e[:6])
+
+
+def test_batcher_with_mesh_sharded_params():
+    """Serving over mesh-sharded params (fsdp x tp, the multi-chip eval
+    deployment): jit partitions the decode/admit programs around the
+    parameter shardings; outputs must match the single-device run exactly
+    (greedy, f32)."""
+    from jax.sharding import Mesh
+
+    from spacer_tpu.parallel.partition import shard_params
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    reqs = _prompts(cfg, [5, 9, 7, 6], seed=6)
+    kw = dict(slots=2, prompt_len=16, max_new_tokens=7, eos_token_id=-1,
+              temperature=0.0, chunk_steps=3, dtype=jnp.float32)
+
+    ref = ContinuousBatcher(cfg, params, **kw).run(reqs)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devices, ("data", "fsdp", "tp"))
+    sharded, _ = shard_params(params, mesh)
+    with mesh:
+        got = ContinuousBatcher(cfg, sharded, **kw).run(reqs)
+    for r, g in zip(ref, got):
+        assert g.length == r.length == 7
+        np.testing.assert_array_equal(g.sequences[:7], r.sequences[:7])
