@@ -39,24 +39,34 @@ class SampleOutput:
     lengths: np.ndarray          # (B*G,) completion lengths (mask sums)
 
 
-def _topp_threshold_bisect(logits, lse, top_p, iters: int = 30):
+def _topp_threshold_bisect(logits, lse, top_p, iters: int = 24):
     """Per-row nucleus threshold by bisection: the largest t such that
     P(logit >= t) >= top_p.
 
-    Equivalent to the sorted-prefix rule (up to exact ties at the boundary
-    logit, where ALL tied tokens are kept), but with a FIXED cost of `iters`
+    Equivalent to the sorted-prefix rule (up to ties at the boundary logit,
+    where ALL tied tokens are kept), but with a FIXED cost of `iters`
     masked-sum passes — no vocab sort, no top_k (both are slow on TPU at
     150k vocab: top_k lowers to an iterative partial sort; a full sort of
-    (32, 49k) costs ~2.4 ms per decode step)."""
-    probs = jnp.exp(logits - lse)
+    (32, 49k) costs ~2.4 ms per decode step).
+
+    The masked sums read BF16 copies of logits/probs (f32 accumulation):
+    the bisection is decode-bandwidth on the hot path (iters full-vocab
+    passes per step), and bf16 granularity only fuzzes the nucleus
+    boundary by ~1e-3 of mass — far below sampling noise.  The returned
+    threshold is compared against the same bf16 logits (sample_logits) so
+    mass accounting and the final filter agree exactly.
+    """
+    probs_b = jnp.exp(logits - lse).astype(jnp.bfloat16)
+    logits_b = logits.astype(jnp.bfloat16)
     lo = jnp.min(logits, axis=-1, keepdims=True)
     hi = jnp.max(logits, axis=-1, keepdims=True)
 
     def body(_, state):
         lo, hi = state
         mid = (lo + hi) * 0.5
-        mass = jnp.sum(jnp.where(logits >= mid, probs, 0.0), axis=-1,
-                       keepdims=True)
+        mass = jnp.sum(
+            jnp.where(logits_b >= mid.astype(jnp.bfloat16), probs_b, 0),
+            axis=-1, keepdims=True, dtype=jnp.float32)
         ok = mass >= top_p  # threshold can be raised
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
 
@@ -72,7 +82,8 @@ def sample_logits(logits, rng, temperature: float, top_p: float):
     if top_p is not None and top_p < 1.0:
         lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
         kept_min = _topp_threshold_bisect(logits, lse, top_p)
-        logits = jnp.where(logits >= kept_min, logits, -jnp.inf)
+        keep = logits.astype(jnp.bfloat16) >= kept_min.astype(jnp.bfloat16)
+        logits = jnp.where(keep, logits, -jnp.inf)
     return jax.random.categorical(rng, logits, axis=-1)
 
 
