@@ -200,6 +200,12 @@ def bench_grpo():
         ),
         vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
                             out_hidden_size=2048),
+        # special-token ids must be IN vocab: the real Qwen ids (151652+)
+        # exceed this bench model's 49152 vocab, and on TPU an
+        # out-of-bounds embedding gather fills NaN (CPU clamps), which
+        # would poison the whole forward
+        image_token_id=49149, video_token_id=49150,
+        vision_start_token_id=49148, vision_end_token_id=49151,
     )
     params = jax.jit(
         lambda k: init_params(k, cfg, jnp.bfloat16)
@@ -332,6 +338,12 @@ def bench_iteration(B=4, G=8, P_len=2048, C=1024, iters=3):
         ),
         vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
                             out_hidden_size=2048),
+        # special-token ids must be IN vocab: the real Qwen ids (151652+)
+        # exceed this bench model's 49152 vocab, and on TPU an
+        # out-of-bounds embedding gather fills NaN (CPU clamps), which
+        # would poison the whole forward
+        image_token_id=49149, video_token_id=49150,
+        vision_start_token_id=49148, vision_end_token_id=49151,
     )
     # random-init logits are pathologically flat, but the bisection nucleus
     # sampler has FIXED cost regardless of the distribution shape, so no
@@ -509,6 +521,12 @@ def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024):
         ),
         vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
                             out_hidden_size=2048),
+        # special-token ids must be IN vocab: the real Qwen ids (151652+)
+        # exceed this bench model's 49152 vocab, and on TPU an
+        # out-of-bounds embedding gather fills NaN (CPU clamps), which
+        # would poison the whole forward
+        image_token_id=49149, video_token_id=49150,
+        vision_start_token_id=49148, vision_end_token_id=49151,
     )
     params = jax.jit(
         lambda k: init_params(k, cfg, jnp.bfloat16)
