@@ -72,13 +72,17 @@ class ServedOutput:
 def _admit_jit(state, params, input_ids, input_embeds, position_ids,
                prompt_mask, delta, max_new, slot, *, text_cfg,
                attn_impl=None, temperature, top_p, eos_token_id):
-    """Prefill one prompt and insert it into slot `slot` — one program.
+    """Prefill Bq prompts and insert them into slots `slot` — one program.
 
-    input_embeds: (1, Pmax, D) left-padded (from the vision prologue), or
-    None for text-only requests — then the embedding lookup happens here,
-    folding the whole admission into a single dispatch (per-call dispatch
-    costs rival the prefill compute on a remote-relay backend).
-    delta/max_new/slot: scalars.
+    input_ids (Bq, Pmax); input_embeds (Bq, Pmax, D) left-padded (from the
+    vision prologue) or None for text-only requests — then the embedding
+    lookup happens here, folding the whole admission into a single dispatch
+    (per-call dispatch costs rival the prefill compute on a remote-relay
+    backend).  delta/max_new/slot: (Bq,).
+
+    Duplicate rows targeting the same slot are allowed and idempotent-by-
+    last-write (the host pads admission waves to a power-of-two Bq by
+    repeating the final admission, so only a few program shapes compile).
     """
     if input_embeds is None:
         from spacer_tpu.nn.core import embed as embed_op
@@ -91,7 +95,7 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
         position_ids=position_ids, kv_mask=prompt_mask.astype(bool),
         cache=cache, cache_index=0, attn_impl=attn_impl,
     )
-    pk_all, pv_all = cache["k"][:, 0], cache["v"][:, 0]  # (L, Pmax, ...)
+    pk_all, pv_all = cache["k"], cache["v"]  # (L, Bq, Pmax, ...)
 
     L = text_cfg.num_layers
     caches = list(state["caches"])
@@ -102,44 +106,47 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
         pk_q, pk_s = quantize_kv(pk_all)
         pv_q, pv_s = quantize_kv(pv_all)
     for l in range(L):
-        entry = caches[l]
-        pk = jax.lax.dynamic_update_slice(
-            entry[0], (pk_q if quant else pk_all)[l][None].astype(
-                entry[0].dtype), (slot, 0, 0, 0))
-        pv = jax.lax.dynamic_update_slice(
-            entry[1], (pv_q if quant else pv_all)[l][None].astype(
-                entry[1].dtype), (slot, 0, 0, 0))
-        if quant:
-            pk_sc = jax.lax.dynamic_update_slice(
-                entry[4], pk_s[l][None], (slot, 0, 0))
-            pv_sc = jax.lax.dynamic_update_slice(
-                entry[5], pv_s[l][None], (slot, 0, 0))
-            caches[l] = (pk, pv, entry[2], entry[3],
-                         pk_sc, pv_sc, entry[6], entry[7])
-        else:
-            caches[l] = (pk, pv, entry[2], entry[3])
+        entry = list(caches[l])
+        for b in range(B):
+            entry[0] = jax.lax.dynamic_update_slice(
+                entry[0], (pk_q if quant else pk_all)[l, b][None].astype(
+                    entry[0].dtype), (slot[b], 0, 0, 0))
+            entry[1] = jax.lax.dynamic_update_slice(
+                entry[1], (pv_q if quant else pv_all)[l, b][None].astype(
+                    entry[1].dtype), (slot[b], 0, 0, 0))
+            if quant:
+                entry[4] = jax.lax.dynamic_update_slice(
+                    entry[4], pk_s[l, b][None], (slot[b], 0, 0))
+                entry[5] = jax.lax.dynamic_update_slice(
+                    entry[5], pv_s[l, b][None], (slot[b], 0, 0))
+        caches[l] = tuple(entry)
 
     rng, sub = jax.random.split(state["rng"])
-    first = sample_logits(logits[:, -1], sub, temperature, top_p)[0]
-    first = first.astype(jnp.int32)
+    first = sample_logits(logits[:, -1], sub, temperature, top_p)
+    first = first.astype(jnp.int32)  # (Bq,)
 
-    def at(arr, val):
-        return jax.lax.dynamic_update_slice(
-            arr, jnp.asarray(val, arr.dtype).reshape(
-                (1,) + arr.shape[1:]), (slot,) + (0,) * (arr.ndim - 1))
+    def at(arr, vals):
+        for b in range(B):
+            arr = jax.lax.dynamic_update_slice(
+                arr, jnp.asarray(vals[b], arr.dtype).reshape(
+                    (1,) + arr.shape[1:]),
+                (slot[b],) + (0,) * (arr.ndim - 1))
+        return arr
 
-    out_row = jnp.zeros((state["out"].shape[1],), jnp.int32).at[0].set(first)
+    Cmax = state["out"].shape[1]
+    out_rows = jnp.zeros((B, Cmax), jnp.int32).at[:, 0].set(first)
     return {
         "caches": tuple(caches),
-        "pmask": at(state["pmask"], prompt_mask[0]),
+        "pmask": at(state["pmask"], prompt_mask),
         "delta": at(state["delta"], delta),
-        "admit": at(state["admit"], state["clock"]),
+        "admit": at(state["admit"],
+                    jnp.broadcast_to(state["clock"], (B,))),
         "cur": at(state["cur"], first),
-        "t": at(state["t"], 1),
+        "t": at(state["t"], jnp.ones((B,), jnp.int32)),
         "done": at(state["done"],
                    (first == eos_token_id) | (max_new <= 1)),
         "maxnew": at(state["maxnew"], max_new),
-        "out": at(state["out"], out_row),
+        "out": at(state["out"], out_rows),
         "clock": state["clock"],
         "rng": rng,
     }
@@ -313,22 +320,41 @@ class ContinuousBatcher:
             delta -= pad
         return ids, mask, pos, delta
 
-    def _admit(self, req: dict, budget: int, slot: int):
-        ids, mask, pos, delta = self._pad_request(req)
-        vk = {k: jnp.asarray(v)
-              for k, v in (req.get("vision_kwargs") or {}).items()}
-        if vk:
-            embeds = _prologue_jit(
-                self.params, jnp.asarray(ids), vk, cfg=self.cfg,
-                grid_thw=req.get("grid_thw"), attn_impl=self.attn_impl,
-                family_name=self.family.name,
-            ).astype(self.dtype)
-        else:
-            embeds = None  # text-only: embed inside the admission program
+    def _admit_wave(self, admissions: list):
+        """Admit [(req, budget, slot), ...] in ONE program.  The wave pads
+        to a power-of-two row count by repeating the last admission
+        (idempotent: duplicate rows write the same slot sequentially), so
+        only log2(slots)+1 admission shapes ever compile."""
+        Bq = 1 << (len(admissions) - 1).bit_length()
+        padded = admissions + [admissions[-1]] * (Bq - len(admissions))
+        ids_l, mask_l, pos_l, deltas, budgets, slots, embeds_l = \
+            [], [], [], [], [], [], []
+        any_vision = any(r.get("vision_kwargs") for r, _, _ in padded)
+        for req, budget, slot in padded:
+            ids, mask, pos, delta = self._pad_request(req)
+            if any_vision:
+                vk = {k: jnp.asarray(v)
+                      for k, v in (req.get("vision_kwargs") or {}).items()}
+                embeds_l.append(_prologue_jit(
+                    self.params, jnp.asarray(ids), vk, cfg=self.cfg,
+                    grid_thw=req.get("grid_thw"), attn_impl=self.attn_impl,
+                    family_name=self.family.name,
+                ).astype(self.dtype))
+            ids_l.append(ids)
+            mask_l.append(mask.astype(np.int32))
+            pos_l.append(pos)
+            deltas.append(delta)
+            budgets.append(budget)
+            slots.append(slot)
+        embeds = jnp.concatenate(embeds_l, axis=0) if any_vision else None
         self.state = _admit_jit(
-            self.state, self.params, jnp.asarray(ids), embeds,
-            jnp.asarray(pos), jnp.asarray(mask.astype(np.int32)),
-            jnp.int32(delta), jnp.int32(budget), jnp.int32(slot),
+            self.state, self.params,
+            jnp.asarray(np.concatenate(ids_l, 0)), embeds,
+            jnp.asarray(np.concatenate(pos_l, 1)),
+            jnp.asarray(np.concatenate(mask_l, 0)),
+            jnp.asarray(np.asarray(deltas, np.int32)),
+            jnp.asarray(np.asarray(budgets, np.int32)),
+            jnp.asarray(np.asarray(slots, np.int32)),
             text_cfg=self.cfg.text, attn_impl=self.attn_impl,
             temperature=self.temperature, top_p=self.top_p,
             eos_token_id=self.eos)
@@ -362,11 +388,14 @@ class ContinuousBatcher:
                   top_p=self.top_p, eos_token_id=self.eos)
 
         while queue or any(i is not None for i in self._slot_req):
+            admissions = []
             for r in range(self.R):
                 if self._slot_req[r] is None and queue:
                     i, req = queue.popleft()
-                    self._admit(req, budget_of(req), r)
+                    admissions.append((req, budget_of(req), r))
                     self._slot_req[r] = i
+            if admissions:
+                self._admit_wave(admissions)
 
             self.state = _chunk_jit(
                 self.state, self.layer_params, self.other_params,
