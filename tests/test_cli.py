@@ -107,3 +107,44 @@ def test_config_parser_yaml_and_overrides(tmp_path):
 
     with pytest.raises(ValueError):
         parse_configs((SGRLVRConfig,), ["--nonexistent", "1"])
+
+
+def test_serve_cli(data_dir, tmp_path):
+    """Offline batch serving: jsonl in -> completions jsonl out, through
+    the continuous-batching engine on the tiny random model."""
+    from spacer_tpu.cli.serve import main
+
+    prompts = tmp_path / "prompts.jsonl"
+    with open(prompts, "w") as f:
+        f.write(json.dumps({"id": 0, "prompt": "hello there"}) + "\n")
+        f.write(json.dumps({"id": 1, "prompt": "another question",
+                            "video": str(data_dir / "clip.mp4")}) + "\n")
+        f.write(json.dumps({"id": 2, "messages": [{
+            "role": "user",
+            "content": [{"type": "text", "text": "chat format"}]}]}) + "\n")
+    out = tmp_path / "done.jsonl"
+    main([
+        "--input_file", str(prompts),
+        "--output_file", str(out),
+        "--random_init", "true",
+        "--max_new_tokens", "4",
+        "--temperature", "0",
+        "--slots", "2",
+        "--chunk_steps", "2",
+    ])
+    rows = [json.loads(line) for line in open(out)]
+    assert [r["id"] for r in rows] == [0, 1, 2]
+    assert all(isinstance(r["completion"], str) for r in rows)
+
+    # static path produces the same greedy completions
+    out2 = tmp_path / "done_static.jsonl"
+    main([
+        "--input_file", str(prompts),
+        "--output_file", str(out2),
+        "--random_init", "true",
+        "--max_new_tokens", "4",
+        "--temperature", "0",
+        "--serving", "static",
+    ])
+    rows2 = [json.loads(line) for line in open(out2)]
+    assert [r["completion"] for r in rows] == [r["completion"] for r in rows2]
