@@ -354,6 +354,16 @@ class Sampler:
         seed: int | jax.Array = 0,
     ) -> SampleOutput:
         cfg = self.cfg
+        # host-side guard: an out-of-vocab id would hit JAX's out-of-bounds
+        # gather, which CLAMPS on CPU but fills NaN on TPU — a silent
+        # platform divergence that poisons the whole forward.  Catch it at
+        # the library boundary while the ids are still host numpy.
+        if int(np.max(input_ids)) >= cfg.text.vocab_size:
+            raise ValueError(
+                f"input_ids contain id {int(np.max(input_ids))} >= "
+                f"vocab_size {cfg.text.vocab_size} (on TPU this becomes a "
+                f"NaN embedding, not a clamp)"
+            )
         B, S = input_ids.shape
         Sb = self._bucket(S)
         pad = Sb - S

@@ -307,6 +307,12 @@ class ContinuousBatcher:
         pos = np.asarray(req["position_ids"])
         delta = int(np.asarray(req.get("deltas", 0)).reshape(-1)[0])
         assert ids.shape[0] == 1, "one prompt per request"
+        if int(ids.max()) >= self.cfg.text.vocab_size:
+            raise ValueError(
+                f"input_ids contain id {int(ids.max())} >= vocab_size "
+                f"{self.cfg.text.vocab_size} (on TPU this becomes a NaN "
+                f"embedding, not a clamp)"
+            )
         S = ids.shape[1]
         if S > self.Pmax:
             raise ValueError(f"prompt len {S} exceeds bucket {self.Pmax}")

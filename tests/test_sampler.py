@@ -129,3 +129,32 @@ def test_sample_logits_greedy():
     logits = jnp.array([[0.1, 5.0, 0.2], [3.0, 0.0, 0.1]])
     out = sample_logits(logits, jax.random.key(0), 0.0, 1.0)
     np.testing.assert_array_equal(np.asarray(out), [1, 0])
+
+
+def test_out_of_vocab_ids_rejected():
+    """OOV ids hit JAX's out-of-bounds gather, which clamps on CPU but
+    fills NaN on TPU — the boundary guard must reject them on both."""
+    import pytest
+
+    from spacer_tpu.models.qwen25_vl import init_params, tiny_config
+    from spacer_tpu.sampler import Sampler
+    from spacer_tpu.serving import ContinuousBatcher
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    ids = np.full((1, 4), cfg.text.vocab_size + 5, np.int32)
+    mask = np.ones((1, 4), np.int32)
+    pos = np.broadcast_to(np.arange(4)[None, None], (3, 1, 4)).astype(np.int32)
+    deltas = np.zeros((1, 1), np.int32)
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        Sampler(cfg, length_bucket=8).generate(
+            ids, mask, params, position_ids=pos, deltas=deltas,
+            num_generations=1, max_new_tokens=2, temperature=0.0)
+
+    b = ContinuousBatcher(cfg, params, slots=1, prompt_len=8,
+                          max_new_tokens=2, eos_token_id=-1,
+                          temperature=0.0, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="vocab_size"):
+        b.run([{"input_ids": ids, "attention_mask": mask,
+                "position_ids": pos, "deltas": deltas}])
