@@ -61,7 +61,20 @@ def test_moe_matches_torch(impl):
     x = np.random.RandomState(1).randn(3, 7, H).astype(np.float32)
     ref = layer(torch.from_numpy(x)).detach().numpy()
     got = np.asarray(moe_mlp(params, jnp.asarray(x), topk=K, impl=impl))
-    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    # top-k routing is discontinuous: a token whose k-th/(k+1)-th router
+    # logits are within float noise can legitimately route differently
+    # between torch and XLA (and between XLA binaries from the persistent
+    # cache, which may have been compiled on a host with different
+    # instruction selection).  Compare only comfortably-routed tokens.
+    logits = x.reshape(-1, H) @ np.asarray(params["router"]["kernel"])
+    srt = np.sort(logits, axis=-1)
+    margin = srt[:, -K] - srt[:, -(K + 1)]
+    keep = margin > 1e-3
+    assert keep.mean() > 0.7, "fixture degenerate: too many routing ties"
+    np.testing.assert_allclose(
+        got.reshape(-1, H)[keep], ref.reshape(-1, H)[keep],
+        rtol=2e-4, atol=2e-4)
 
 
 def test_moe_ragged_matches_dense():
