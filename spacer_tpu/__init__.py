@@ -27,8 +27,18 @@ import os as _os
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache (big win on remote-compile TPU
     backends where each compile is a network round trip).  Opt out with
-    SPACER_NO_COMPILE_CACHE=1; honor an explicit JAX cache dir if set."""
+    SPACER_NO_COMPILE_CACHE=1; honor an explicit JAX cache dir if set.
+
+    CPU-pinned processes (JAX_PLATFORMS=cpu: the test suite, the multichip
+    dryrun) do NOT get the persistent cache: XLA:CPU AOT artifacts bake in
+    the compiling host's instruction selection, and loading one compiled
+    on a different machine can silently miscompute (observed as NaNs from
+    a cached binary whose AVX feature set mismatched the host) — the
+    loader itself warns about SIGILL.  CPU compiles are fast; the cache
+    only pays for its risk on the remote TPU backend."""
     if _os.environ.get("SPACER_NO_COMPILE_CACHE") == "1":
+        return
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return
     try:
         import jax

@@ -10,6 +10,16 @@ import os
 # Must be set before `import jax` anywhere in the test process. Force (not
 # setdefault): the driver environment pre-sets JAX_PLATFORMS=axon (TPU).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compilation cache on CPU: XLA:CPU AOT artifacts bake in the
+# compiling host's instruction selection, and this image's shared cache can
+# hold entries from a DIFFERENT machine — loading one silently miscomputes
+# (observed: NaNs from a cached MoE binary; the loader warns about SIGILL).
+# CPU compiles are fast; determinism matters more here.
+os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+# Single-threaded OpenMP: torch (libgomp) and XLA:CPU's oneDNN in one
+# process race when both spin up OpenMP pools — observed as rare NaNs in
+# XLA outputs of torch-parity tests.  The torch references here are tiny.
+os.environ["OMP_NUM_THREADS"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -22,6 +22,13 @@ def _torch_moe_layer(hidden, intermediate, num_experts, topk, num_shared):
     )
     torch.manual_seed(0)
     layer = AriaTextMoELayer(cfg)
+    # a bare HF layer leaves torch.empty parameters UNINITIALIZED (init
+    # runs via the model's post_init, not the layer ctor): usually finite
+    # garbage, occasionally NaN — initialize every weight explicitly so
+    # the reference is deterministic
+    with torch.no_grad():
+        for p in layer.parameters():
+            p.normal_(0, 0.1)
     layer.eval()
     return layer
 
