@@ -337,9 +337,16 @@ def vit_forward(
     # weights are reshaped+zero-padded so the projections EMIT/CONSUME the
     # kernel's (H, S_pad, 128) layout directly — no transposes or pad copies
     # on the hot path, and rope runs lane-aligned via rotate_half_matrix.
-    use_window_kernel = attn_impl == "pallas" or (
-        attn_impl is None and jax.devices()[0].platform == "tpu"
-    )
+    # The kernel path is only taken when a Mosaic-legal block plan exists
+    # for this layout (small videos can produce window/chunk sizes that
+    # violate the 8x128 tiling — enforced on real TPU only, so the guard
+    # must NOT rely on the CPU interpret mode passing).
+    from spacer_tpu.ops.vit_window_attention import window_kernel_plan
+
+    use_window_kernel = (
+        attn_impl == "pallas"
+        or (attn_impl is None and jax.devices()[0].platform == "tpu")
+    ) and window_kernel_plan(n_win, wt) is not None
 
     def windowed_attn(qkv):
         """Reshape into (n_win, wt) windows — zero gathers."""
@@ -430,8 +437,14 @@ def vit_forward(
             return hh + _vit_mlp(cfg, bp["mlp"], x)
 
         # full-attention layers reuse the SAME kernel with one frame chunk
-        # as the "window" (uniform chunks only; ragged grids fall back)
-        use_full_kernel = full_chunk > 0
+        # as the "window" (uniform Mosaic-legal chunks only; ragged or
+        # tile-unfriendly grids fall back to the XLA path)
+        from spacer_tpu.ops.vit_window_attention import (
+            chunk_kernel_supported,
+        )
+
+        use_full_kernel = full_chunk > 0 and chunk_kernel_supported(
+            S, full_chunk)
         if use_full_kernel:
             from spacer_tpu.ops.vit_window_attention import (
                 chunk_attention_hsd,

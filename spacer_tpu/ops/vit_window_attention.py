@@ -34,11 +34,30 @@ MASK_VALUE = -1e30
 LANES = 128
 
 
-def _pick_wb(n_win: int, wt: int, target_rows: int = 512) -> int:
-    wb = max(1, target_rows // wt)
-    while n_win % wb:
+def window_kernel_plan(n_win: int, wt: int,
+                       max_rows: int = 1024) -> int | None:
+    """Block-row count wb for window_attention_hsd, or None if no Mosaic-
+    legal plan exists.  Mosaic requires each block dim to be divisible by
+    its tile (8 sublanes / 128 lanes) OR equal to the full array dim — the
+    bias block's last dim is wb*wt, so wb*wt must be a 128 multiple unless
+    one program covers every window.  CPU interpret mode does not enforce
+    this, so callers MUST consult the plan before taking the kernel path
+    (a tiny video's layout, e.g. wt=60, crashes only on real TPU
+    otherwise)."""
+    wb = max(1, (max_rows // 2) // wt)
+    while wb >= 1:
+        if n_win % wb == 0 and (wb * wt) % 128 == 0:
+            return wb
         wb -= 1
-    return wb
+    if n_win * wt <= max_rows:   # single program, blocks == array dims
+        return n_win
+    return None
+
+
+def chunk_kernel_supported(S: int, wt: int, max_rows: int = 2048) -> bool:
+    """chunk_attention_hsd legality: the (1, wt, dp) block needs wt % 8 == 0
+    or wt == S, and the (wt, wt) f32 score tile must fit VMEM."""
+    return wt <= max_rows and (wt % 8 == 0 or wt == S)
 
 
 def _kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, wt: int, scale: float):
@@ -108,7 +127,11 @@ def window_attention_hsd(q, k, v, bias, wt: int, scale: float,
     """
     H, S_pad, dp = q.shape
     n_win = S_pad // wt
-    wb = _pick_wb(n_win, wt)
+    wb = window_kernel_plan(n_win, wt)
+    assert wb is not None, (
+        f"no Mosaic-legal window plan for n_win={n_win}, wt={wt}; callers "
+        f"must check window_kernel_plan() and fall back to the XLA path"
+    )
     grid = (H, n_win // wb)
     blk = pl.BlockSpec((1, wb * wt, dp), lambda h, b: (h, b, 0))
     return pl.pallas_call(
