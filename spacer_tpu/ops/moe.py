@@ -166,10 +166,16 @@ def moe_mlp(params: Params, x, *, topk: int, impl: str | None = None,
 
 
 def shared_expert_mlp(params: Params, x):
-    """SwiGLU shared-experts MLP (AriaSharedExpertsMLP)."""
-    gate = jax.nn.silu(jnp.dot(x, params["gate_proj"]["kernel"]))
-    up = jnp.dot(x, params["up_proj"]["kernel"])
-    return jnp.dot(gate * up, params["down_proj"]["kernel"])
+    """SwiGLU shared-experts MLP (AriaSharedExpertsMLP).
+
+    Uses nn.core.dense so int8 weight-only-quantized subtrees (kernel_q8
+    from ops/quant.py, as produced for the rollout decode loop) dispatch
+    transparently."""
+    from spacer_tpu.nn.core import dense
+
+    gate = jax.nn.silu(dense(params["gate_proj"], x))
+    up = dense(params["up_proj"], x)
+    return dense(params["down_proj"], gate * up)
 
 
 # ---------------------------------------------------------------------------

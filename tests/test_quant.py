@@ -214,3 +214,27 @@ def test_int8_kv_segmented_decode_prefix_deterministic():
     assert long.sequences.shape == (2, 260)
     np.testing.assert_array_equal(
         long.sequences[:, :128], short.sequences)
+
+
+def test_int8_decode_runs_on_moe_family():
+    """Quantized rollout decode over the Aria MoE decoder: the shared
+    experts must dispatch through dense() so kernel_q8 subtrees work
+    (regression: shared_expert_mlp once indexed ["kernel"] directly and
+    KeyError'd for every int8 Aria rollout)."""
+    from spacer_tpu.models.aria.config import tiny_aria_config
+    from spacer_tpu.models.aria.model import init_params as aria_init
+    from spacer_tpu.models.registry import aria_positions
+
+    cfg = tiny_aria_config()
+    params = aria_init(jax.random.key(0), cfg, jnp.float32)
+    ids = np.random.RandomState(0).randint(
+        10, cfg.text.vocab_size, size=(1, 6)).astype(np.int32)
+    mask = np.ones((1, 6), np.int32)
+    pos3, deltas = aria_positions(cfg, ids, mask)
+    for quant in ("int8", "int8_kv"):
+        s = Sampler(cfg, eos_token_id=-1, length_bucket=8,
+                    decode_quant=quant)
+        out = s.generate(ids, mask, params, position_ids=pos3,
+                         deltas=deltas, num_generations=2,
+                         max_new_tokens=5, temperature=0.0)
+        assert out.sequences.shape == (2, 5)
