@@ -2,7 +2,7 @@
 
 check_dirs := spacer_tpu tests bench.py __graft_entry__.py
 
-.PHONY: style quality test native clean
+.PHONY: style quality test test-all native clean
 
 style:
 	python -m black $(check_dirs) 2>/dev/null || true
@@ -12,8 +12,13 @@ quality:
 	python -m flake8 --max-line-length 100 $(check_dirs) 2>/dev/null || \
 	    python -m pyflakes $(check_dirs) 2>/dev/null || true
 
+# fast loop: slow e2e/parity tests deselected (pyproject addopts)
 test:
 	python -m pytest tests/ -x -q
+
+# the FULL suite, slow tests included
+test-all:
+	SPACER_RUN_SLOW=1 python -m pytest tests/ -x -q
 
 native:
 	$(MAKE) -C native

@@ -22,6 +22,9 @@ class ModelArgs:
     tp: int = 1                        # tensor-parallel axis size
     fsdp: Optional[int] = None         # fsdp axis size (default: all)
     multihost: bool = False            # call jax.distributed.initialize()
+    # decode-path quantization: "" (bf16) | "int8" | "int8_kv"
+    # (applies to the sampler AND the continuous-batching engine)
+    decode_quant: str = ""
 
 
 def setup_distributed(args: ModelArgs):

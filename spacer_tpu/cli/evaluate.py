@@ -24,7 +24,8 @@ def main(argv=None):
     eval_cfg, model_args = parse_configs((EvalConfig, ModelArgs), argv)
     setup_distributed(model_args)
     cfg, params, processor, mesh = load_model_and_processor(model_args)
-    engine = QwenEngine(cfg, params, processor)
+    engine = QwenEngine(cfg, params, processor,
+                        decode_quant=model_args.decode_quant or None)
     metrics = run_benchmark(eval_cfg, engine)
     print(json.dumps(metrics, indent=1, default=float))
 

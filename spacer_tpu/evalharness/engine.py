@@ -21,7 +21,8 @@ class QwenEngine:
     """Batched multimodal generation on TPU."""
 
     def __init__(self, cfg, params, processor, attn_impl=None,
-                 length_bucket: int = 512, top_p: float = 1.0, seed: int = 0):
+                 length_bucket: int = 512, top_p: float = 1.0, seed: int = 0,
+                 decode_quant: str | None = None):
         from spacer_tpu.sampler import Sampler
 
         self.cfg = cfg
@@ -30,12 +31,14 @@ class QwenEngine:
         self.top_p = top_p
         self.seed = seed
         self._calls = 0
+        self._batchers: dict = {}   # geometry key -> ContinuousBatcher
         self.sampler = Sampler(
             cfg,
             eos_token_id=processor.eos_token_id,
             pad_token_id=processor.pad_token_id,
             attn_impl=attn_impl,
             length_bucket=length_bucket,
+            decode_quant=decode_quant,
         )
 
     def generate(self, messages_list, *, max_new_tokens: int = 128,
@@ -81,16 +84,18 @@ class QwenEngine:
         fixed set of decode slots (serving/batcher.py) — finished rows
         refill immediately instead of idling until the batch's longest
         answer completes.  Preferred over generate() for large prompt sets
-        with variable answer lengths (the six-benchmark eval harness)."""
-        import jax.numpy as jnp
+        with variable answer lengths (the six-benchmark eval harness).
+
+        Requests are bucketed by prompt length and each bucket runs in its
+        own batcher geometry, so one 16k outlier no longer taxes every
+        short prompt with 16k prefill + prefix attention; batchers are
+        cached per geometry across calls (no per-wave recompilation)."""
         import numpy as np
 
         from spacer_tpu.data.processor import pack_vision_inputs
         from spacer_tpu.models.qwen25_vl import get_rope_index
-        from spacer_tpu.serving import ContinuousBatcher
 
         requests = []
-        max_len = 1
         for m in messages_list:
             enc = self.processor.process_messages(
                 [m], add_generation_prompt=True)
@@ -111,27 +116,58 @@ class QwenEngine:
             }
             if pixel_values is not None:
                 req["vision_kwargs"] = {"pixel_values": pixel_values}
-            max_len = max(max_len, enc["input_ids"].shape[1])
             requests.append(req)
 
         bucket = self.sampler.length_bucket
-        Pmax = prompt_bucket or max(bucket, -(-max_len // bucket) * bucket)
-        dtype = self.params["model"]["embed_tokens"]["embedding"].dtype
+
+        def pbucket(req):
+            if prompt_bucket:
+                return prompt_bucket
+            n = req["input_ids"].shape[1]
+            return max(bucket, -(-n // bucket) * bucket)
+
         self._calls += 1
-        batcher = ContinuousBatcher(
-            self.cfg, self.params, slots=min(slots, len(requests)),
-            prompt_len=Pmax, max_new_tokens=max_new_tokens,
-            eos_token_id=self.processor.eos_token_id,
-            pad_token_id=self.processor.pad_token_id,
-            temperature=temperature, top_p=self.top_p,
-            attn_impl=self.sampler.attn_impl, chunk_steps=chunk_steps,
-            seed=self.seed + self._calls, dtype=dtype,
-        )
-        outs = batcher.run(requests)
+        results: list = [None] * len(requests)
+        by_bucket: dict[int, list[int]] = {}
+        for i, req in enumerate(requests):
+            by_bucket.setdefault(pbucket(req), []).append(i)
+        for Pmax, idxs in sorted(by_bucket.items()):
+            batcher = self._get_batcher(
+                Pmax, max_new_tokens, temperature, slots, chunk_steps)
+            outs = batcher.run([requests[i] for i in idxs],
+                               max_new_tokens=max_new_tokens)
+            for i, o in zip(idxs, outs):
+                results[i] = o
         return self.processor.tokenizer.batch_decode(
-            [np.asarray(o.sequences[:o.length]) for o in outs],
+            [np.asarray(o.sequences[:o.length]) for o in results],
             skip_special_tokens=True,
         )
+
+    def _get_batcher(self, Pmax: int, max_new: int, temperature: float,
+                     slots: int, chunk_steps: int):
+        """Cached per-geometry ContinuousBatcher (avoids the per-wave
+        admit/chunk recompile + cache realloc churn of a fresh batcher).
+        Cmax is bucketed up so nearby max_new_tokens share a geometry."""
+        from spacer_tpu.serving import ContinuousBatcher
+
+        Cmax = max(128, -(-max_new // 128) * 128)
+        key = (Pmax, Cmax, round(float(temperature), 6), slots, chunk_steps)
+        if key not in self._batchers:
+            # bound resident KV: drop older geometries beyond 4
+            while len(self._batchers) >= 4:
+                self._batchers.pop(next(iter(self._batchers)))
+            dtype = self.params["model"]["embed_tokens"]["embedding"].dtype
+            self._batchers[key] = ContinuousBatcher(
+                self.cfg, self.params, slots=slots, prompt_len=Pmax,
+                max_new_tokens=Cmax,
+                eos_token_id=self.processor.eos_token_id,
+                pad_token_id=self.processor.pad_token_id,
+                temperature=temperature, top_p=self.top_p,
+                attn_impl=self.sampler.attn_impl, chunk_steps=chunk_steps,
+                seed=self.seed + self._calls, dtype=dtype,
+                decode_quant=self.sampler.decode_quant,
+            )
+        return self._batchers[key]
 
 
 class EchoEngine:

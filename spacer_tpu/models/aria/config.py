@@ -41,6 +41,17 @@ class AriaTextConfig:
     moe_capacity_factor: float = 2.0
     moe_ep_axis: str | tuple = "fsdp"
 
+    def __post_init__(self):
+        # Resolve the SPACER_MOE_IMPL env override HERE, on the host, at
+        # config construction — an os.environ read inside the jit-traced
+        # MLP would be baked in at first trace and never again consulted.
+        if self.moe_impl is None:
+            import os
+
+            env = os.environ.get("SPACER_MOE_IMPL")
+            if env:
+                object.__setattr__(self, "moe_impl", env)
+
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads

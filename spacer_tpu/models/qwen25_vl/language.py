@@ -75,6 +75,46 @@ def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def narrow_dots_policy(wide: int):
+    """Checkpoint policy: save matmul outputs EXCEPT wide ones (>= `wide`
+    lanes, i.e. the MLP gate/up intermediates, ~70% of dots-saveable bytes
+    at 4x expansion).  Backward recomputes just those two matmuls — a
+    fraction of full remat's whole-layer recompute at a fraction of
+    dots_with_no_batch_dims' memory.  Used via remat="dots_narrow"."""
+
+    def policy(prim, *args, **params):
+        if prim.name != "dot_general":
+            return False
+        (_, rhs_c), (lhs_b, rhs_b) = params["dimension_numbers"]
+        if lhs_b or rhs_b:
+            return False  # batched: attention einsums, recompute
+        rhs = args[1]
+        out_free = [d for i, d in enumerate(rhs.shape) if i not in rhs_c]
+        return max(out_free, default=0) < wide
+
+    return policy
+
+
+def _remat_wrap(layer_fn, remat, cfg: TextConfig):
+    """Apply the configured rematerialization to a layer body.
+
+    remat: False | True (full per-layer recompute) | "dots" (save all
+    non-batch matmul outputs) | "dots_narrow" (save all but the wide MLP
+    intermediates — fits where "dots" OOMs, recomputes only gate/up)."""
+    if remat == "dots":
+        return jax.checkpoint(
+            layer_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    if remat == "dots_narrow":
+        return jax.checkpoint(
+            layer_fn, policy=narrow_dots_policy(cfg.intermediate_size)
+        )
+    if remat:
+        return jax.checkpoint(layer_fn)
+    return layer_fn
+
+
 def _mlp_block(p_mlp, x, cfg: TextConfig):
     """Feed-forward dispatch: SwiGLU (Qwen) or MoE (Aria, cfg.moe_topk>0)."""
     if getattr(cfg, "moe_topk", 0):
@@ -349,18 +389,7 @@ def lm_forward(
     if cache is None:
         def scan_body(h, layer_params):
             layer = lambda hh, lp: body_fn(hh, lp, None)[0]  # noqa: E731
-            if remat == "dots":
-                # selective remat: stash matmul outputs, recompute only the
-                # elementwise tail — ~the memory of full remat's residuals
-                # plus per-layer dot outputs, at a fraction of the recompute
-                fn = jax.checkpoint(
-                    layer,
-                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                )
-            elif remat:
-                fn = jax.checkpoint(layer)
-            else:
-                fn = layer
+            fn = _remat_wrap(layer, remat, cfg)
             return fn(h, layer_params), None
 
         h, _ = jax.lax.scan(scan_body, h, params["layers"])
@@ -368,7 +397,9 @@ def lm_forward(
     else:
         def scan_body(h, xs):
             layer_params, ck, cv = xs
-            h, (ck, cv) = body_fn(h, layer_params, (ck, cv))
+            layer = lambda hh, lp, c: body_fn(hh, lp, c)  # noqa: E731
+            layer = _remat_wrap(layer, remat, cfg)
+            h, (ck, cv) = layer(h, layer_params, (ck, cv))
             return h, (ck, cv)
 
         h, (nk, nv) = jax.lax.scan(scan_body, h, (params["layers"], cache["k"], cache["v"]))

@@ -123,11 +123,12 @@ def moe_mlp(params: Params, x, *, topk: int, impl: str | None = None,
     SwiGLU on the raw input.
 
     impl: "ragged" (dropless grouped GEMM, default) | "dense" (oracle) |
-    "ep" (expert-parallel capacity dispatch, see moe_mlp_ep).
+    "ep" (expert-parallel capacity dispatch, see moe_mlp_ep).  Resolved to
+    a concrete string by the caller BEFORE tracing (AriaTextConfig reads
+    the SPACER_MOE_IMPL env override at construction) — an env read here
+    would be baked in at first trace and silently ignored afterwards.
     """
-    import os
-
-    impl = impl or os.environ.get("SPACER_MOE_IMPL") or "ragged"
+    impl = impl or "ragged"
     if impl == "ep":
         return moe_mlp_ep(params, x, topk=topk,
                           capacity_factor=capacity_factor, ep_axis=ep_axis)

@@ -56,17 +56,24 @@ def global_batch_from_local(local_batch: dict, mesh, batch_axes=("data", "fsdp")
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from spacer_tpu.parallel.partition import _BATCH_DIM1_KEYS
+
     if jax.process_count() == 1:
         return local_batch
 
-    def place(x):
+    def place(k, x):
         x = np.asarray(x)
-        spec = P(batch_axes) if x.ndim >= 1 else P()
+        # rope position arrays are (3, N, S): the batch dim is dim 1
+        dim = 1 if k in _BATCH_DIM1_KEYS else 0
+        if x.ndim <= dim:
+            spec = P()
+        else:
+            spec = P(*([None] * dim), batch_axes)
         return jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), x
         )
 
-    return {k: place(v) for k, v in local_batch.items()}
+    return {k: place(k, v) for k, v in local_batch.items()}
 
 
 def all_gather_objects(obj: Any) -> list[Any]:

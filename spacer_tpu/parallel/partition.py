@@ -163,7 +163,9 @@ def batch_spec(mesh) -> P:
 
 # batch keys whose SECOND dim is the batch dimension (e.g. rope position_ids
 # are (3, N, S)); everything else shards dim 0.
-_BATCH_DIM1_KEYS = frozenset({"position_ids"})
+_BATCH_DIM1_KEYS = frozenset(
+    {"position_ids", "prompt_position_ids", "completion_position_ids"}
+)
 # keys shared by the whole batch (packed patch/crop tokens, not per-row)
 _REPLICATED_KEYS = frozenset(
     {"pixel_values", "patch_mask", "pixel_position_ids"}

@@ -188,3 +188,10 @@ def accuracy_reward(completions, solution, path=None, map_data=None, **kwargs):
                     f.write(f"Content: {content}\n")
                     f.write(f"Solution: {sol}\n")
     return rewards
+
+
+# Explicit dispatch flag: the trainer passes `map_data` (the cognitive-map
+# ground truth, SG-RLVR.py:290-291) only to reward functions that declare
+# they need it.  An attribute — not a __name__ check — so wrappers/renames
+# keep working as long as they carry the flag forward.
+accuracy_reward.needs_map_data = True

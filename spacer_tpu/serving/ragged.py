@@ -14,8 +14,11 @@ op the grouped decoder uses.  Per-row raggedness moves entirely into the
 MASK: a row admitted at clock a with t emitted tokens owns the ring window
 {j : (j - a) mod Cmax < t}, which is contiguous-with-wraparound and never
 self-collides because a request lives at most Cmax steps.  Rows that are
-done (or empty) must not stomp the ring — their write is protected by
-re-writing the existing value (one (R, Hkv, Dh) dynamic_slice, cheap).
+done (or empty) write unconditionally, and that is safe by the mask-window
+argument: a ring position only enters a row's mask window at exactly the
+step whose write lands there, and writes precede reads within a layer, so
+a stale write is overwritten before any read can see it (see the
+_ragged_layer docstring for the full invariant).
 
 Cache layout per layer:
   pk/pv: (R, Pmax, Hkv, Dh)  prompt prefix, written at admission

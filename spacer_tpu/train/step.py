@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from spacer_tpu.models.qwen25_vl.config import Qwen25VLConfig
+from spacer_tpu.models.qwen25_vl.language import init_kv_cache
 from spacer_tpu.models.qwen25_vl.model import (
     encode_vision,
     lm_forward,
@@ -77,6 +78,78 @@ def _completion_logps(
     return chunked_per_token_logps(h, head, targets, chunk=logp_chunk)
 
 
+def _completion_logps_shared(
+    params, cfg, prompt_ids, prompt_position_ids, prompt_mask,
+    completion_ids, completion_position_ids, completion_mask,
+    num_generations: int, vision_embeds=None, remat: bool = False,
+    attn_impl=None, logp_chunk: int = 256, merge_fn=merge_vision_embeds,
+):
+    """Shared-prefix per-token completion logps.
+
+    The G completions of a group share an IDENTICAL prompt, so the prompt
+    forward (the dominant token count at reference shapes: P=16384 cap vs
+    C=1024, run_SpaceR_SG_RLVR.sh:19-20) runs ONCE per group over B rows
+    and its per-layer KV is reused by all G completion rows — the training-
+    forward analogue of the rollout sampler's prefix sharing (the reference
+    instead recomputes the full prompt forward per completion row,
+    SG_RLVR_trainer.py:526-532, tiling pixels xG at :516-518).  Per-sample
+    flops drop from ~8*N*(P+C) to ~8*N*(P/G + C); gradients flow into the
+    prompt pass through the reused KV (a jnp.repeat, whose VJP sums the G
+    completion rows' contributions), so the math — logps AND grads — is
+    identical to the full forward up to fp reassociation (pinned by
+    tests/test_train_step.py parity).
+
+    prompt_ids (B, P) left-padded; completion_ids (B*G, C) group-major.
+    completion_mask doubles as the completion part of the attention mask
+    (reference concatenates it onto the prompt mask, :493-521).
+    """
+    B, P = prompt_ids.shape
+    N, C = completion_ids.shape
+    G = num_generations
+    tc = cfg.text
+
+    prompt_embeds = embed(params["model"]["embed_tokens"], prompt_ids)
+    if vision_embeds is not None:
+        prompt_embeds = merge_fn(cfg, prompt_ids, prompt_embeds,
+                                 vision_embeds)
+    prompt_cache = init_kv_cache(tc, B, P, dtype=prompt_embeds.dtype)
+    hp, prompt_cache = lm_forward(
+        params["model"], tc, input_embeds=prompt_embeds,
+        position_ids=prompt_position_ids,
+        kv_mask=prompt_mask.astype(bool), cache=prompt_cache,
+        cache_index=0, logits=False, remat=remat, attn_impl=attn_impl,
+    )
+
+    # prompt KV -> per-completion-row cache with room for the C completion
+    # keys (the completion forward writes them at cache_index=P)
+    def expand(c):  # (L, B, P, Hkv, Dh) -> (L, B*G, P+C, Hkv, Dh)
+        c = jnp.repeat(c, G, axis=1)
+        pad = [(0, 0)] * c.ndim
+        pad[2] = (0, C)
+        return jnp.pad(c, pad)
+
+    full_cache = {"k": expand(prompt_cache["k"]),
+                  "v": expand(prompt_cache["v"])}
+    kv_mask = jnp.concatenate(
+        [jnp.repeat(prompt_mask.astype(bool), G, axis=0),
+         completion_mask.astype(bool)], axis=1)
+
+    comp_embeds = embed(params["model"]["embed_tokens"], completion_ids)
+    hc, _ = lm_forward(
+        params["model"], tc, input_embeds=comp_embeds,
+        position_ids=completion_position_ids, kv_mask=kv_mask,
+        cache=full_cache, cache_index=P, logits=False, remat=remat,
+        attn_impl=attn_impl,
+    )
+    # position P-1 (shared across the group) predicts completion token 0;
+    # completion position i predicts token i+1
+    h = jnp.concatenate(
+        [jnp.repeat(hp[:, -1:], G, axis=0), hc[:, :-1]], axis=1)
+    head = _head_kernel(params["model"], cfg.text)
+    return chunked_per_token_logps(h, head, completion_ids,
+                                   chunk=logp_chunk)
+
+
 def make_grpo_train_step(
     cfg,
     tx,
@@ -96,7 +169,20 @@ def make_grpo_train_step(
     Qwen25VLConfig or AriaConfig; vision encode/tile/merge dispatch through
     models.registry.
 
-    batch dict:
+    Two batch schemas, dispatched on key presence:
+
+    Shared-prefix (default trainer path — prompt forward once per group,
+    see _completion_logps_shared):
+      prompt_ids              (B, P) left-padded
+      prompt_mask             (B, P)
+      prompt_position_ids     (3, B, P)
+      completion_ids          (B*G, C) group-major [p0*G, p1*G, ...]
+      completion_position_ids (3, B*G, C)
+      completion_mask         (N, C) — loss mask AND completion attn mask
+      advantages              (N,)
+      vision arrays           family.vision_batch_keys, optional
+
+    Legacy packed (numerics oracle; also the ring-attention/sp path):
       input_ids       (N, P+C) prompt+completion, left-padded prompt
       kv_mask         (N, P+C) attention mask incl. completion mask
       position_ids    (3, N, P+C)
@@ -121,17 +207,41 @@ def make_grpo_train_step(
             ve, cfg, grid_thw, num_generations, grids_per_prompt
         )
 
-    def loss_fn(params, ref_logps, batch, grid_thw, num_generations,
-                prompt_len, grids_per_prompt):
+    def _logps(params, batch, grid_thw, num_generations, prompt_len,
+               grids_per_prompt):
+        """Dispatch on batch schema: shared-prefix (prompt/completion split,
+        the default trainer path) vs legacy packed (N, P+C) rows."""
+        if "prompt_ids" in batch:
+            vk = {k: batch[k] for k in family.vision_batch_keys if k in batch}
+            vision_embeds = None
+            if vk and encode_vision_in_step:
+                # merged into the B prompt rows — no xG tiling at all
+                vision_embeds = family.encode_vision(
+                    params, cfg, vk, grid_thw, remat=remat,
+                    attn_impl=attn_impl)
+            return _completion_logps_shared(
+                params, cfg, batch["prompt_ids"],
+                batch["prompt_position_ids"], batch["prompt_mask"],
+                batch["completion_ids"], batch["completion_position_ids"],
+                batch["completion_mask"], num_generations,
+                vision_embeds=vision_embeds, remat=remat,
+                attn_impl=attn_impl, logp_chunk=logp_chunk,
+                merge_fn=family.merge_vision_embeds,
+            )
         vision_embeds = _vision_embeds(
             params, batch, grid_thw, num_generations, grids_per_prompt
         )
-        logps = _completion_logps(
+        return _completion_logps(
             params, cfg, batch["input_ids"], batch["position_ids"],
             batch["kv_mask"], prompt_len, vision_embeds=vision_embeds,
             remat=remat, attn_impl=attn_impl, logp_chunk=logp_chunk,
             merge_fn=family.merge_vision_embeds,
         )
+
+    def loss_fn(params, ref_logps, batch, grid_thw, num_generations,
+                prompt_len, grids_per_prompt):
+        logps = _logps(params, batch, grid_thw, num_generations, prompt_len,
+                       grids_per_prompt)
         loss, metrics = grpo_loss(
             logps, ref_logps, batch["advantages"], batch["completion_mask"],
             beta=beta,
@@ -151,15 +261,8 @@ def make_grpo_train_step(
         asynchronously right after rollout so it overlaps with host-side
         reward computation."""
         prompt_len = prompt_len if prompt_len is not None else bound_prompt_len
-        ref_vision_embeds = _vision_embeds(
-            ref_params, batch, grid_thw, num_generations, grids_per_prompt
-        )
-        return _completion_logps(
-            ref_params, cfg, batch["input_ids"], batch["position_ids"],
-            batch["kv_mask"], prompt_len, vision_embeds=ref_vision_embeds,
-            remat=remat, attn_impl=attn_impl, logp_chunk=logp_chunk,
-            merge_fn=family.merge_vision_embeds,
-        )
+        return _logps(ref_params, batch, grid_thw, num_generations,
+                      prompt_len, grids_per_prompt)
 
     @functools.partial(
         jax.jit,

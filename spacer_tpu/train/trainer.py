@@ -46,20 +46,22 @@ def _concat_maybe_device(parts):
     return np.concatenate(parts).astype(np.float32)
 
 
-def _device_prefetch_vision(enc: dict) -> dict:
+def _device_prefetch_vision(enc: dict, cast=None) -> dict:
     """Start the host->device transfer of the big pixel arrays NOW.
 
     Called from the prefetch thread pool, so the transfer (the slowest
     fixed cost of a step on tunneled/relayed backends: tens of MB per
     video at ~55 MB/s here) fully overlaps the previous training step.
-    Float pixels ship as bf16 — they feed a bf16 patch-embed matmul, so
-    this is bit-identical to the on-device cast at HALF the wire bytes.
+    `cast=jnp.bfloat16` ships float pixels as bf16 — when the patch-embed
+    matmul runs in bf16 params this matches the on-device cast at HALF the
+    wire bytes; under f32 params (parity/debug runs) the caller passes
+    cast=None so input precision is preserved.
     """
     for k in ("pixel_values", "pixel_values_videos"):
         if k in enc and not isinstance(enc[k], jax.Array):
             arr = np.asarray(enc[k])
-            if arr.dtype == np.float32 or arr.dtype == np.float64:
-                arr = arr.astype(jnp.bfloat16)
+            if cast is not None and arr.dtype in (np.float32, np.float64):
+                arr = arr.astype(cast)
             enc[k] = jax.device_put(arr)
     return enc
 
@@ -144,6 +146,13 @@ class SGRLVRTrainer:
             ref_params if ref_params is not None
             else jax.tree.map(jnp.copy, params)
         )
+        # pixel wire dtype: ship bf16 only when the patch embed actually
+        # runs in bf16 params (otherwise the cast would silently degrade
+        # vision input precision on f32 parity/debug runs)
+        embed_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        self._pixel_cast = (
+            jnp.bfloat16 if embed_dtype == jnp.bfloat16 else None
+        )
 
         steps_per_epoch = -(-len(self.dataset)
                             // max(1, args.rollout_batch_size))
@@ -205,7 +214,7 @@ class SGRLVRTrainer:
             # Aria is image-only (reference grpo_trainer.py Aria branch);
             # the AriaProcessor handles fetch + crop geometry itself.
             out = self.processor.process_messages([prompt])
-            return _device_prefetch_vision(out), False
+            return _device_prefetch_vision(out, self._pixel_cast), False
 
         from spacer_tpu.vision.process import process_vision_info
 
@@ -228,7 +237,7 @@ class SGRLVRTrainer:
             [text], images=images, videos=videos, fps=vkw.get("fps"),
         )
         return (
-            _device_prefetch_vision(out),
+            _device_prefetch_vision(out, self._pixel_cast),
             videos is not None and len(videos) > 0,
         )
 
@@ -381,7 +390,12 @@ class SGRLVRTrainer:
         t_rollout = time.perf_counter()
 
         # --- build the (advantage-free) train batch now so the reference
-        # forward can run asynchronously UNDER the host-side reward loop
+        # forward can run asynchronously UNDER the host-side reward loop.
+        # Shared-prefix schema (step.py _completion_logps_shared): the
+        # prompt forward runs once per group, its KV reused by the G
+        # completion rows — same math as the packed full forward (parity-
+        # pinned in tests/test_train_step.py) at ~(P/G + C)/(P + C) of the
+        # flops.
         P_len = enc["input_ids"].shape[1]
         Pb = self.sampler._bucket(P_len)
         pad = Pb - P_len
@@ -392,24 +406,16 @@ class SGRLVRTrainer:
         prompt_mask_p = np.pad(enc["attention_mask"], ((0, 0), (pad, 0)))
         pos_p = np.pad(pos, ((0, 0), (0, 0), (pad, 0)), constant_values=1)
         C = args.max_completion_length
-        full_ids = np.concatenate(
-            [np.repeat(prompt_ids_p, G, axis=0), sample_out.sequences], axis=1
-        ).astype(np.int32)
         comp_mask = sample_out.completion_mask
-        kv_mask = np.concatenate(
-            [np.repeat(prompt_mask_p, G, axis=0), comp_mask], axis=1
-        ).astype(bool)
         comp_pos = (deltas.reshape(-1, 1) - pad) + Pb + np.arange(C)[None, :]
         comp_pos = np.repeat(comp_pos, G, axis=0)  # (B*G, C)
-        pos_full = np.concatenate(
-            [np.repeat(pos_p, G, axis=1),
-             np.broadcast_to(comp_pos[None], (3, B * G, C))],
-            axis=2,
-        ).astype(np.int32)
         batch = {
-            "input_ids": full_ids,
-            "kv_mask": kv_mask,
-            "position_ids": pos_full,
+            "prompt_ids": prompt_ids_p.astype(np.int32),
+            "prompt_mask": prompt_mask_p.astype(np.int32),
+            "prompt_position_ids": pos_p.astype(np.int32),
+            "completion_ids": sample_out.sequences.astype(np.int32),
+            "completion_position_ids": np.broadcast_to(
+                comp_pos[None], (3, B * G, C)).astype(np.int32),
             "completion_mask": comp_mask.astype(np.int32),
         }
         if vision_kwargs is not None:
@@ -540,7 +546,10 @@ class SGRLVRTrainer:
         comps = [[{"content": c}] for c in completions]
         for i, fn in enumerate(self.reward_funcs):
             kwargs = dict(reward_kwargs)
-            if fn.__name__ == "accuracy_reward":
+            # explicit registry flag, NOT a __name__ check: a wrapped or
+            # renamed reward fn keeps receiving map_data as long as it
+            # carries the attribute (rewards/accuracy.py sets it)
+            if getattr(fn, "needs_map_data", False):
                 kwargs["map_data"] = self.map_data
             vals = fn(
                 completions=comps,

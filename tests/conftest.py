@@ -45,3 +45,52 @@ def cpu_devices():
     devs = jax.devices()
     assert len(devs) >= 8, f"expected >=8 virtual devices, got {len(devs)}"
     return devs
+
+
+# ---------------------------------------------------------------------------
+# Slow-test marking: the tests below dominate suite wall time (multi-program
+# XLA compiles); the default loop deselects them via addopts -m 'not slow'
+# (pyproject.toml) so day-to-day iteration stays under ~5 minutes.  The FULL
+# suite still runs with `make test-all`, `pytest -m ""`, or SPACER_RUN_SLOW=1.
+# ---------------------------------------------------------------------------
+
+_SLOW_TESTS = {
+    "test_cli.py::test_train_sg_rlvr_cli",
+    "test_cli.py::test_train_sft_cli",
+    "test_global_batch.py::test_multi_prompt_step_matches_per_group_losses",
+    "test_global_batch.py::test_trainer_global_batch_on_mesh",
+    "test_trainer_e2e.py::test_trainer_two_steps_and_checkpoint",
+    "test_train_step.py::test_grpo_step_sharded",
+    "test_train_step.py::test_sft_step",
+    "test_train_step.py::test_shared_prefix_schema_matches_packed",
+    "test_sampler.py::test_sample_logits_top_p",
+    "test_ring_train_step.py::test_grpo_step_with_ring_attention",
+    "test_ring_lm_forward.py::test_lm_forward_ring_gradients",
+    "test_vit_window_kernel.py::test_kernel_path_gradients_match_xla",
+    "test_vit_window_kernel.py::test_kernel_path_matches_xla",
+    "test_vit_window_kernel.py::test_kernel_path_with_remat",
+    "test_serving.py::test_engine_generate_many_matches_generate",
+    "test_serving.py::test_generate_many_buckets_prompt_lengths",
+    "test_serving.py::test_batcher_with_mesh_sharded_params",
+    "test_serving.py::test_batcher_serves_aria_family",
+    "test_serving.py::test_batcher_matches_sampler_with_refill",
+    "test_serving.py::test_batcher_int8_kv_runs_with_refill",
+    "test_aria_trainer_e2e.py::test_aria_trainer_two_steps",
+    "test_aria_sharded.py::test_aria_grpo_step_on_mesh",
+    "test_checkpoint_topology.py::test_save_fsdp8_restore_other_topologies",
+    "test_flash_attention.py::test_gradient_parity",
+    "test_engine.py::test_engine_mixed_image_video_batch",
+    "test_moe.py::test_moe_grads_flow",
+    "test_model_parity.py::test_kv_cache_decode_matches_full_forward",
+    "test_7b_readiness.py::test_streaming_load_7b_geometry",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPACER_RUN_SLOW"):
+        # neutralize the default deselection: treat every test as fast
+        return
+    for item in items:
+        base = item.nodeid.split("tests/")[-1].split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

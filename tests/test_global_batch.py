@@ -188,8 +188,8 @@ def test_trainer_global_batch_on_mesh(video_path, tmp_path):
 
     def spy(params, ref_params, opt_state, batch, **kw):
         captured["advantages"] = np.asarray(batch["advantages"])
-        captured["ids_sharding"] = batch["input_ids"].sharding
-        captured["n_rows"] = batch["input_ids"].shape[0]
+        captured["ids_sharding"] = batch["completion_ids"].sharding
+        captured["n_rows"] = batch["completion_ids"].shape[0]
         return orig_step(params, ref_params, opt_state, batch, **kw)
 
     spy.ref_logps_fn = orig_step.ref_logps_fn

@@ -156,3 +156,113 @@ def test_sft_step():
         params2, opt_state, metrics = step(params2, opt_state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def _two_group_batches(cfg, G=4, P_len=64, C=16, seed=1):
+    """Same data in both schemas: packed (N, P+C) and shared-prefix."""
+    B = 2
+    rng = np.random.default_rng(seed)
+    grid1 = (2, 8, 8)
+    n_patches = 2 * 8 * 8
+    n_video = n_patches // 4
+    prompt_rows, mask_rows = [], []
+    for b in range(B):
+        prompt = (
+            [10 + b, 11, cfg.vision_start_token_id]
+            + [cfg.video_token_id] * n_video
+            + [cfg.vision_end_token_id, 20 + b, 21]
+        )
+        pad = P_len - len(prompt)
+        prompt_rows.append([cfg.pad_token_id] * pad + prompt)
+        mask_rows.append([0] * pad + [1] * len(prompt))
+    prompt_ids = np.array(prompt_rows, np.int32)
+    prompt_mask = np.array(mask_rows, np.int32)
+    grid = (grid1, grid1)
+    pos, deltas = get_rope_index(
+        cfg, prompt_ids, video_grid_thw=np.array(grid),
+        attention_mask=prompt_mask,
+    )
+    completion = rng.integers(
+        10, cfg.text.vocab_size, size=(B * G, C)).astype(np.int32)
+    comp_mask = np.ones((B * G, C), np.int32)
+    comp_mask[:, C - 3:] = rng.integers(0, 2, size=(B * G, 3))
+    comp_mask[:, 0] = 1
+    comp_pos = np.repeat(
+        deltas.reshape(-1, 1) + P_len + np.arange(C)[None, :], G, axis=0)
+    pixels = rng.normal(size=(B * n_patches, cfg.vision.patch_dim)).astype(
+        np.float32)
+    advantages = rng.normal(size=(B * G,)).astype(np.float32)
+
+    packed = {
+        "input_ids": np.concatenate(
+            [np.repeat(prompt_ids, G, axis=0), completion], axis=1),
+        "kv_mask": np.concatenate(
+            [np.repeat(prompt_mask, G, axis=0), comp_mask], axis=1
+        ).astype(bool),
+        "position_ids": np.concatenate(
+            [np.repeat(pos, G, axis=1),
+             np.broadcast_to(comp_pos[None], (3, B * G, C))], axis=2
+        ).astype(np.int32),
+        "completion_mask": comp_mask,
+        "advantages": advantages,
+        "pixel_values": pixels,
+    }
+    shared = {
+        "prompt_ids": prompt_ids,
+        "prompt_mask": prompt_mask,
+        "prompt_position_ids": np.asarray(pos, np.int32),
+        "completion_ids": completion,
+        "completion_position_ids": np.broadcast_to(
+            comp_pos[None], (3, B * G, C)).astype(np.int32),
+        "completion_mask": comp_mask,
+        "advantages": advantages,
+        "pixel_values": pixels,
+    }
+    return packed, shared, grid
+
+
+def test_shared_prefix_schema_matches_packed():
+    """The shared-prefix train path (prompt forward once per group, KV
+    reused by the G completions) must agree with the packed full-sequence
+    oracle: same ref logps, same loss/KL/grad_norm, same updated params —
+    the flop savings cannot change the math."""
+    cfg = tiny_config()
+    G, P_len, C = 4, 64, 16
+    packed, shared, grid = _two_group_batches(cfg, G=G, P_len=P_len, C=C)
+
+    tx = make_optimizer(learning_rate=1e-3, total_steps=100)
+    step = make_grpo_train_step(cfg, tx, beta=0.04, remat=True,
+                                attn_impl="xla", logp_chunk=8)
+
+    with jax.default_matmul_precision("highest"):
+        ref_a = np.asarray(step.ref_logps_fn(
+            init_params(jax.random.key(0), cfg, jnp.float32), packed,
+            grid, G, P_len, (1, 1)))
+        ref_b = np.asarray(step.ref_logps_fn(
+            init_params(jax.random.key(0), cfg, jnp.float32), shared,
+            grid, G, None, None))
+        np.testing.assert_allclose(ref_a, ref_b, atol=3e-5, rtol=1e-5)
+
+        outs = []
+        for batch, pl, gpp in ((packed, P_len, (1, 1)), (shared, None, None)):
+            params = init_params(jax.random.key(0), cfg, jnp.float32)
+            ref_params = init_params(jax.random.key(0), cfg, jnp.float32)
+            opt_state = tx.init(params)
+            p2, _, metrics = step(
+                params, ref_params, opt_state, batch, grid_thw=grid,
+                num_generations=G, prompt_len=pl, grids_per_prompt=gpp)
+            outs.append((p2, metrics))
+    (pa, ma), (pb, mb) = outs
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ma["kl"]), float(mb["kl"]), atol=1e-6)
+    np.testing.assert_allclose(float(ma["grad_norm"]), float(mb["grad_norm"]),
+                               rtol=1e-4, atol=1e-6)
+    # updates are lr-sized (1e-3); Adam's grad/sqrt(v) normalization
+    # amplifies fp-reassociation noise on near-zero gradient elements, so
+    # compare against the update scale, not the raw values
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5),
+        pa, pb,
+    )
