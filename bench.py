@@ -513,6 +513,120 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3):
     }
 
 
+def bench_rollout_waste(P_len=2048, C=512, G=8):
+    """Measure the EOS-tail waste of lockstep grouped decode (VERDICT r2 #2).
+
+    In the grouped rollout every row decodes until the LONGEST row in the
+    batch finishes (modulo the all-done early exit).  Whether that wastes
+    meaningful time depends on the decode cost model t(n) = a + b*n:
+    `a` (weights + sampling head, shared by all rows) vs `b` (per-row
+    KV/flops).  This mode measures a and b empirically by timing the
+    decode at 1..8 groups, then reports the implied waste of lockstep vs
+    per-row retirement under a lognormal completion-length distribution
+    (median ~0.4*C, the shape of temperature-1.0 RL rollouts):
+
+      T_lockstep = max(L) * (a + b*n)        (what the engine pays)
+      T_retire   = max(L) * a + b * sum(L)   (per-row retirement floor;
+                                              cross-step refill would be
+                                              off-policy for GRPO)
+
+    waste = 1 - T_retire/T_lockstep.  If b*n << a (weight-bound decode),
+    lockstep is already near the floor and slot-retirement buys little —
+    the merged temporal rollout (trainer merge_temporal_rollout) and the
+    all-done exit capture the remaining scheduling wins.
+
+    MEASURED OUTCOME (v5e, 1.3B, P=2048, C=1024, int8_kv): the linear
+    model says ~29% waste, but an implemented compacting engine
+    (sampler/compacting.py, rollout_compaction) recovers only a few
+    percent end-to-end: the per-row term b is dominated by tail-cache
+    reads that scale with the BUCKET size (which has grown by the time
+    rows retire, and cannot shrink below the live rows' depth), and
+    halving the group width duplicates prefix slots (each a full prefix
+    read per step).  The a/b decomposition below is still the right
+    diagnostic — it is what pins decode as weight/bucket-bound rather
+    than scheduling-bound at these geometries.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from spacer_tpu.models.qwen25_vl.config import (
+        Qwen25VLConfig, TextConfig, VisionConfig,
+    )
+    from spacer_tpu.models.qwen25_vl import init_params
+    from spacer_tpu.sampler import Sampler
+
+    cfg = Qwen25VLConfig(
+        text=TextConfig(
+            vocab_size=49152, hidden_size=2048, intermediate_size=8192,
+            num_layers=12, num_heads=16, num_kv_heads=4,
+            mrope_section=(16, 24, 24),
+        ),
+        vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
+                            out_hidden_size=2048),
+        image_token_id=49149, video_token_id=49150,
+        vision_start_token_id=49148, vision_end_token_id=49151,
+    )
+    params = jax.jit(lambda k: init_params(k, cfg, jnp.bfloat16))(
+        jax.random.key(0))
+    jax.block_until_ready(params)
+    print("# waste init done", flush=True)
+
+    rng = np.random.default_rng(0)
+    Bmax = 8
+    prompt_ids = rng.integers(10, 49000, size=(Bmax, P_len)).astype(np.int32)
+    prompt_mask = np.ones((Bmax, P_len), np.int64)
+    pos = np.broadcast_to(
+        np.arange(P_len)[None, None], (3, Bmax, P_len)).astype(np.int32)
+    deltas = np.zeros((Bmax, 1), np.int32)
+    sampler = Sampler(cfg, eos_token_id=-1, pad_token_id=0,
+                      length_bucket=P_len, decode_quant="int8_kv")
+
+    def time_rows(Bn):
+        def go(seed):
+            sampler.generate(
+                prompt_ids[:Bn], prompt_mask[:Bn], params,
+                position_ids=pos[:, :Bn], deltas=deltas[:Bn],
+                num_generations=G, max_new_tokens=C, temperature=1.0,
+                top_p=0.95, seed=seed)
+        go(0)
+        go(1)
+        t0 = time.perf_counter()
+        go(2)
+        go(3)
+        return (time.perf_counter() - t0) / 2 / C  # sec per decode step
+
+    ns, ts = [], []
+    for Bn in (1, 2, 4, 8):
+        dt = time_rows(Bn)
+        ns.append(Bn * G)
+        ts.append(dt)
+        print(f"# rows={Bn * G}: {dt * 1e3:.3f} ms/step", flush=True)
+    # least-squares t = a + b*n
+    A = np.stack([np.ones(len(ns)), np.asarray(ns, float)], axis=1)
+    (a, b), *_ = np.linalg.lstsq(A, np.asarray(ts), rcond=None)
+
+    # lognormal lengths, median 0.4*C, clipped to [16, C]
+    L = np.exp(rng.normal(np.log(0.4 * C), 0.6, size=10000))
+    L = np.clip(L, 16, C)
+    n = Bmax * G
+    waste = []
+    for _ in range(2000):
+        Ls = rng.choice(L, size=n)
+        t_lock = Ls.max() * (a + b * n)
+        t_retire = Ls.max() * a + b * Ls.sum()
+        waste.append(1.0 - t_retire / t_lock)
+    return {
+        "metric": "lockstep_rollout_waste_fraction",
+        "value": round(float(np.mean(waste)), 4),
+        "unit": "fraction of decode time",
+        "vs_baseline": 0.0,
+        "a_shared_ms_per_step": round(float(a * 1e3), 4),
+        "b_per_row_us_per_step": round(float(b * 1e6), 3),
+        "rows": n, "C": C, "prompt_len": P_len,
+        "length_dist": "lognormal(median 0.4C, sigma 0.6) clip [16, C]",
+    }
+
+
 def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024):
     """Continuous vs static serving goodput (tokens/sec) at 1.3B scale.
 
@@ -635,6 +749,9 @@ def main(mode="all"):
         return
     if mode == "serving":
         print(json.dumps(bench_serving()))
+        return
+    if mode == "rollout_waste":
+        print(json.dumps(bench_rollout_waste()))
         return
     # default headline: the full RL iteration (rollout + update), plus the
     # preprocess+encode throughput as a secondary field

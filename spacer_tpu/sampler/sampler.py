@@ -37,6 +37,7 @@ class SampleOutput:
     sequences: np.ndarray        # (B*G, max_new) sampled token ids
     completion_mask: np.ndarray  # (B*G, max_new) 1 up to & including first EOS
     lengths: np.ndarray          # (B*G,) completion lengths (mask sums)
+    stats: Optional[dict] = None  # scheduling stats (compacting decode)
 
 
 def _topp_threshold_bisect(logits, lse, top_p, iters: int = 24):
@@ -352,6 +353,8 @@ class Sampler:
         temperature: float = 1.0,
         top_p: float = 0.95,
         seed: int | jax.Array = 0,
+        compaction: bool = False,
+        chunk_steps: int = 64,
     ) -> SampleOutput:
         cfg = self.cfg
         # host-side guard: an out-of-vocab id would hit JAX's out-of-bounds
@@ -401,17 +404,34 @@ class Sampler:
             )
 
         rng = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
-        tokens = _generate_jit(
-            params, cfg.text, token_embeds, jnp.asarray(position_ids),
-            jnp.asarray(attention_mask), jnp.asarray(deltas), rng,
-            num_generations=num_generations, max_new_tokens=max_new_tokens,
-            temperature=float(temperature) if temperature is not None else 0.0,
-            top_p=float(top_p) if top_p is not None else 1.0,
-            eos_token_id=self.eos_token_id, attn_impl=self.attn_impl,
-            decode_quant=self.decode_quant,
-        )
+        temp = float(temperature) if temperature is not None else 0.0
+        topp = float(top_p) if top_p is not None else 1.0
+        stats = None
+        if compaction:
+            from spacer_tpu.sampler.compacting import compacting_decode
+
+            tokens, stats = compacting_decode(
+                params, cfg.text, token_embeds, jnp.asarray(position_ids),
+                np.asarray(attention_mask), np.asarray(deltas), rng,
+                num_generations=num_generations,
+                max_new_tokens=max_new_tokens, temperature=temp,
+                top_p=topp, eos_token_id=self.eos_token_id,
+                attn_impl=self.attn_impl, decode_quant=self.decode_quant,
+                chunk_steps=chunk_steps,
+            )
+        else:
+            tokens = _generate_jit(
+                params, cfg.text, token_embeds, jnp.asarray(position_ids),
+                jnp.asarray(attention_mask), jnp.asarray(deltas), rng,
+                num_generations=num_generations,
+                max_new_tokens=max_new_tokens,
+                temperature=temp, top_p=topp,
+                eos_token_id=self.eos_token_id, attn_impl=self.attn_impl,
+                decode_quant=self.decode_quant,
+            )
         tokens = np.asarray(tokens)
         mask = completion_mask_from_ids(tokens, self.eos_token_id)
         return SampleOutput(
-            sequences=tokens, completion_mask=mask, lengths=mask.sum(axis=1)
+            sequences=tokens, completion_mask=mask, lengths=mask.sum(axis=1),
+            stats=stats,
         )

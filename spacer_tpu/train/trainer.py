@@ -86,6 +86,21 @@ class SGRLVRConfig:
     top_p: float = 0.95
     temporal: bool = True
     len_control: bool = True
+    # decode the temporal-shuffle rollout in the SAME grouped program as the
+    # main rollout (decode is weight-bandwidth-bound: the merged decode pays
+    # max(len) weight passes instead of len_main + len_shuffled)
+    merge_temporal_rollout: bool = True
+    # host-chunked rollout decode with live-row compaction (rows that hit
+    # EOS stop paying tail-KV/flops).  Measured on v5e at the bench
+    # geometry: chunking itself is free, but the compaction win is only a
+    # few % — dead rows' tail reads vanish, yet tail reads scale with the
+    # BUCKET (not the live depth) and width-shrink duplicates prefix
+    # slots, eating most of the b*rows saving the linear cost model
+    # (bench.py rollout_waste) predicts.  Default off; the scheduling win
+    # that ships by default is merge_temporal_rollout.  Greedy outputs are
+    # bit-identical to the lockstep loop either way.
+    rollout_compaction: bool = False
+    rollout_chunk_steps: int = 256
     num_train_epochs: int = 1
     max_steps: int | None = None
     gradient_accumulation_steps: int = 1
@@ -365,15 +380,71 @@ class SGRLVRTrainer:
             k: enc[k] for k in self.family.vision_batch_keys if k in enc
         } or None
 
-        sample_out = self.sampler.generate(
-            enc["input_ids"], enc["attention_mask"], self.params,
-            position_ids=pos, deltas=deltas,
-            vision_kwargs=vision_kwargs, grid_thw=grid_thw,
-            num_generations=G,
-            max_new_tokens=args.max_completion_length,
-            temperature=args.temperature, top_p=args.top_p,
-            seed=int(rng.integers(2**31)),
-        )
+        # Temporal-shuffle prompts are prepared BEFORE the main rollout so
+        # both can decode in ONE grouped program (merge_temporal_rollout):
+        # decode is weight-bandwidth-bound, so the shuffled rollout rides
+        # the SAME per-step weight reads as the main one — two sequential
+        # decodes pay max_len_main + max_len_shuffled weight passes, the
+        # merged decode pays max over all rows (up to 2x fewer).  The
+        # shuffled groups decode G rows like the main ones (uniform group
+        # size keeps the shared-prefix layout); only the first G/2 are kept
+        # (SG_RLVR_trainer.py:277-302 uses G/2 shuffled generations) — the
+        # extra rows are marginal-cost in a weight-bound decode.
+        video_idx = [b for b in range(B) if has_video[b]]
+        do_temporal = args.temporal and bool(video_idx)
+        s_encs = []
+        if do_temporal:
+            for b in video_idx:
+                s_enc, _ = self._prepare_inputs(
+                    rows[b], shuffle_frames=True, rng=rng
+                )
+                s_encs.append(self._truncate_prompt(s_enc))
+        merge_shuffled = do_temporal and args.merge_temporal_rollout
+
+        s_out = None
+        if merge_shuffled:
+            from spacer_tpu.sampler.sampler import SampleOutput
+
+            all_col = self._collate(encs + s_encs)
+            a_pos, a_deltas = self._positions(all_col)
+            a_vk = {
+                k: all_col[k] for k in self.family.vision_batch_keys
+                if k in all_col
+            } or None
+            out_all = self.sampler.generate(
+                all_col["input_ids"], all_col["attention_mask"], self.params,
+                position_ids=a_pos, deltas=a_deltas,
+                vision_kwargs=a_vk, grid_thw=all_col.get("grid_thw"),
+                num_generations=G,
+                max_new_tokens=args.max_completion_length,
+                temperature=args.temperature, top_p=args.top_p,
+                seed=int(rng.integers(2**31)),
+                compaction=args.rollout_compaction,
+                chunk_steps=args.rollout_chunk_steps,
+            )
+            n_main = B * G
+            sample_out = SampleOutput(
+                sequences=out_all.sequences[:n_main],
+                completion_mask=out_all.completion_mask[:n_main],
+                lengths=out_all.lengths[:n_main],
+            )
+            s_out = SampleOutput(
+                sequences=out_all.sequences[n_main:],
+                completion_mask=out_all.completion_mask[n_main:],
+                lengths=out_all.lengths[n_main:],
+            )
+        else:
+            sample_out = self.sampler.generate(
+                enc["input_ids"], enc["attention_mask"], self.params,
+                position_ids=pos, deltas=deltas,
+                vision_kwargs=vision_kwargs, grid_thw=grid_thw,
+                num_generations=G,
+                max_new_tokens=args.max_completion_length,
+                temperature=args.temperature, top_p=args.top_p,
+                seed=int(rng.integers(2**31)),
+                compaction=args.rollout_compaction,
+                chunk_steps=args.rollout_chunk_steps,
+            )
         completions = self.processor.tokenizer.batch_decode(
             [seq[:n] for seq, n in
              zip(sample_out.sequences, sample_out.lengths)],
@@ -429,36 +500,42 @@ class SGRLVRTrainer:
             self.ref_params, batch, grid_thw, G, Pb, grids_per_prompt
         )
 
-        # temporal-shuffle rollouts (G/2 generations), batched over the
-        # video rows of the step
+        # temporal-shuffle rewards (G/2 generations per video row,
+        # SG_RLVR_trainer.py:554-572)
         shuffled_rewards = {}
-        video_idx = [b for b in range(B) if has_video[b]]
-        if args.temporal and video_idx:
-            s_encs = []
-            for b in video_idx:
-                s_enc, _ = self._prepare_inputs(
-                    rows[b], shuffle_frames=True, rng=rng
-                )
-                s_encs.append(self._truncate_prompt(s_enc))
-            s_col = self._collate(s_encs)
-            s_pos, s_deltas = self._positions(s_col)
+        if do_temporal:
             Gs = G // 2
-            s_vk = {
-                k: s_col[k] for k in self.family.vision_batch_keys
-                if k in s_col
-            } or None
-            s_out = self.sampler.generate(
-                s_col["input_ids"], s_col["attention_mask"], self.params,
-                position_ids=s_pos, deltas=s_deltas,
-                vision_kwargs=s_vk,
-                grid_thw=s_col.get("grid_thw"),
-                num_generations=Gs,
-                max_new_tokens=args.max_completion_length,
-                temperature=args.temperature, top_p=args.top_p,
-                seed=int(rng.integers(2**31)),
-            )
+            if merge_shuffled:
+                # s_out holds G rows per shuffled prompt; keep the first Gs
+                keep = np.concatenate([
+                    np.arange(j * G, j * G + Gs)
+                    for j in range(len(video_idx))
+                ])
+                s_seqs = s_out.sequences[keep]
+                s_lens = s_out.lengths[keep]
+            else:
+                s_col = self._collate(s_encs)
+                s_pos, s_deltas = self._positions(s_col)
+                s_vk = {
+                    k: s_col[k] for k in self.family.vision_batch_keys
+                    if k in s_col
+                } or None
+                s_sep = self.sampler.generate(
+                    s_col["input_ids"], s_col["attention_mask"], self.params,
+                    position_ids=s_pos, deltas=s_deltas,
+                    vision_kwargs=s_vk,
+                    grid_thw=s_col.get("grid_thw"),
+                    num_generations=Gs,
+                    max_new_tokens=args.max_completion_length,
+                    temperature=args.temperature, top_p=args.top_p,
+                    seed=int(rng.integers(2**31)),
+                    compaction=args.rollout_compaction,
+                    chunk_steps=args.rollout_chunk_steps,
+                )
+                s_seqs = s_sep.sequences
+                s_lens = s_sep.lengths
             s_completions = self.processor.tokenizer.batch_decode(
-                [seq[:n] for seq, n in zip(s_out.sequences, s_out.lengths)],
+                [seq[:n] for seq, n in zip(s_seqs, s_lens)],
                 skip_special_tokens=True,
             )
             for j, b in enumerate(video_idx):
