@@ -61,16 +61,26 @@ def global_batch_from_local(local_batch: dict, mesh, batch_axes=("data", "fsdp")
     if jax.process_count() == 1:
         return local_batch
 
+    total = int(np.prod([mesh.shape[a] for a in batch_axes]))
+    nproc = jax.process_count()
+
     def place(k, x):
         x = np.asarray(x)
         # rope position arrays are (3, N, S): the batch dim is dim 1
         dim = 1 if k in _BATCH_DIM1_KEYS else 0
-        if x.ndim <= dim:
-            spec = P()
-        else:
+        if x.ndim > dim and (x.shape[dim] * nproc) % total == 0:
             spec = P(*([None] * dim), batch_axes)
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), x
+            )
+        # batch dim too small to tile over the mesh axes (e.g. B prompt
+        # rows < devices in the shared-prefix schema): exchange host-side
+        # and replicate — the same fallback place_batch applies
+        # single-process when a dim does not divide the axis product
+        parts = all_gather_objects(x)
+        full = np.concatenate(parts, axis=dim) if x.ndim > dim else parts[0]
         return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, spec), x
+            NamedSharding(mesh, P()), full
         )
 
     return {k: place(k, v) for k, v in local_batch.items()}

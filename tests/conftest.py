@@ -83,6 +83,9 @@ _SLOW_TESTS = {
     "test_moe.py::test_moe_grads_flow",
     "test_model_parity.py::test_kv_cache_decode_matches_full_forward",
     "test_7b_readiness.py::test_streaming_load_7b_geometry",
+    "test_multihost_train_step.py::test_two_process_grpo_train_step",
+    "test_trainer_e2e.py::test_merged_temporal_rollout_matches_sequential",
+    "test_sampler_compacting.py::test_compacting_compacts_and_survives_bucket_growth",
 }
 
 
