@@ -462,13 +462,21 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3):
     # memory fallback), 1 = the one-program batched form
     update_groups = int(_os.environ.get("SPACER_BENCH_UPDATE_GROUPS", B))
 
+    # SPACER_BENCH_PHASES=1: accumulate rollout vs update wall time (the
+    # sampler returns host arrays, so the generate call is a natural sync
+    # point; the update phase ends at the loss fetch)
+    phase_times = {"rollout_s": 0.0, "update_s": 0.0}
+    time_phases = _os.environ.get("SPACER_BENCH_PHASES") == "1"
+
     def one_iteration(params, ref_params, opt_state, seed, sampler=sampler):
         # batched rollout: all B groups decode in ONE program (B*G rows)
+        tp0 = time.perf_counter()
         out = sampler.generate(
             prompt_ids, prompt_mask, params, position_ids=pos, deltas=deltas,
             pixel_values=pixel_values, grid_thw=grid, num_generations=G,
             max_new_tokens=C, temperature=1.0, top_p=0.95, seed=seed,
         )
+        tp1 = time.perf_counter()
         comp_pos = deltas.reshape(-1, 1) + P_len + np.arange(C)[None, :]
         comp_pos = np.repeat(comp_pos, G, axis=0)
         adv = rng.normal(size=(B * G,)).astype(np.float32)
@@ -506,16 +514,24 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3):
                 num_generations=G,
             )
         float(metrics["loss"])  # host sync
+        if time_phases:
+            phase_times["rollout_s"] += tp1 - tp0
+            phase_times["update_s"] += time.perf_counter() - tp1
         return params, opt_state
 
     params, opt_state = one_iteration(params, ref_params, opt_state, 0)
     print("# iter compiled", flush=True)
+    phase_times.update(rollout_s=0.0, update_s=0.0)
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state = one_iteration(params, ref_params, opt_state,
                                           i + 1)
     dt = time.perf_counter() - t0
     sps = iters * B * G / dt
+    if time_phases:
+        print(f"# bf16 phases: rollout={phase_times['rollout_s']/iters:.2f}s "
+              f"update={phase_times['update_s']/iters:.2f}s per iteration",
+              flush=True)
 
     # quantized-rollout variant (int8 weights + int8 KV caches,
     # ops/quant.py): the production setting for long-completion RL — logps
@@ -525,11 +541,16 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3):
     # HEADLINE configuration; the bf16 rollout is reported alongside.
     params, opt_state = one_iteration(params, ref_params, opt_state, 100,
                                       sampler=sampler_q8)
+    phase_times.update(rollout_s=0.0, update_s=0.0)
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state = one_iteration(params, ref_params, opt_state,
                                           101 + i, sampler=sampler_q8)
     sps_q8 = iters * B * G / (time.perf_counter() - t0)
+    if time_phases:
+        print(f"# int8 phases: rollout={phase_times['rollout_s']/iters:.2f}s "
+              f"update={phase_times['update_s']/iters:.2f}s per iteration",
+              flush=True)
 
     n_lm = _count_params(params["model"])
     n_vit = _count_params(params["visual"])

@@ -22,9 +22,18 @@ os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
 os.environ["OMP_NUM_THREADS"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's collective watchdog aborts the process (SIGABRT) when any
+# rendezvous participant is >40s late.  On this 1-core host the 8 virtual
+# devices time-share one core, so a 7B-geometry forward legitimately keeps
+# some participants busy for minutes before they reach the all-reduce
+# (observed: rendezvous.cc "Termination timeout ... exceeded" killing the
+# SPACER_FULL_7B dress rehearsal).  Deadlock detection is not worth killing
+# correct-but-slow runs; give it two hours.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags = (flags
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

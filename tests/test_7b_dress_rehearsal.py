@@ -1,0 +1,175 @@
+"""Full-pipeline dress rehearsal at TRUE Qwen2.5-VL-7B geometry
+(VERDICT r2 next #4): streaming HF load -> sharded GRPO trainer step (real
+mp4 rollout) -> model checkpoint -> eval harness with the real engine +
+continuous batching at 28 layers (admission compile time measured).
+
+Runs on the 8-virtual-device CPU mesh with SYNTHETIC weights; tiny token
+counts keep the arithmetic feasible on CPU while every shape, memory and
+compile path is the production 7B one — after this passes, a mounted real
+checkpoint is the ONLY missing input for a VSI-Bench score.
+
+Gated behind SPACER_FULL_7B=1 (tens of minutes + ~100 GB RAM):
+    SPACER_FULL_7B=1 python -m pytest tests/test_7b_dress_rehearsal.py -q -s
+"""
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPACER_FULL_7B") != "1",
+    reason="full-7B rehearsal: set SPACER_FULL_7B=1 (slow, ~100GB RAM)",
+)
+
+
+def _tiny_clip(path, frames=4, size=(64, 48)):
+    import cv2
+
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 4.0, size)
+    rng = np.random.default_rng(0)
+    for t in range(frames):
+        w.write(rng.integers(0, 255, (size[1], size[0], 3), np.uint8))
+    w.release()
+    return path
+
+
+def test_7b_dress_rehearsal():
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_7b_readiness import _synth_checkpoint
+
+    from spacer_tpu.data import MockTokenizer, VLProcessor
+    from spacer_tpu.data.templates import make_conversation
+    from spacer_tpu.evalharness import EvalConfig, QwenEngine, run_benchmark
+    from spacer_tpu.models.qwen25_vl.loading import load_params_from_hf
+    from spacer_tpu.parallel import create_mesh, shard_params
+    from spacer_tpu.rewards import accuracy_reward, format_reward
+    from spacer_tpu.train.trainer import SGRLVRConfig, SGRLVRTrainer
+
+    def _phase(name):
+        rss = 0
+        try:
+            with open("/proc/self/status") as f:
+                for ln in f:
+                    if ln.startswith("VmRSS"):
+                        rss = int(ln.split()[1]) // 1024
+        except OSError:
+            pass
+        print(f"# dress7b phase={name} rss_mb={rss}", flush=True)
+
+    timings = {}
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="dress7b_", dir=base)
+    try:
+        _phase("start")
+        # --- 1. synthetic sharded HF checkpoint at TRUE 7B geometry
+        t0 = time.time()
+        ckpt_dir = os.path.join(work, "hf_ckpt")
+        os.makedirs(ckpt_dir)
+        from pathlib import Path
+
+        cfg, names, _ = _synth_checkpoint(Path(ckpt_dir), 28, 32)
+        timings["synth_ckpt_s"] = time.time() - t0
+        _phase("synth_ckpt_done")
+
+        # --- 2. streaming load + fsdp-8 sharding
+        t0 = time.time()
+        mesh = create_mesh({"fsdp": 8})
+        params, _ = load_params_from_hf(ckpt_dir, cfg=cfg,
+                                        dtype=jnp.bfloat16)
+        params, _ = shard_params(params, mesh)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        assert n_params == sum(int(np.prod(s)) for s in names.values())
+        assert n_params > 8.0e9, n_params  # true 7B+vit geometry
+        timings["load_shard_s"] = time.time() - t0
+        shutil.rmtree(ckpt_dir)  # free 16.6 GB of tmpfs before training
+        _phase("load_shard_done")
+
+        # --- 3. one sharded GRPO trainer step on a real mp4
+        t0 = time.time()
+        clip = _tiny_clip(os.path.join(work, "clip7b.mp4"))
+        tok = MockTokenizer(vocab_size=cfg.text.vocab_size)
+        proc = VLProcessor(tok, cfg, min_pixels=3136, max_pixels=12544)
+        vid = os.path.splitext(os.path.basename(clip))[0]
+        map_data = {vid: {"cognitive_map": {"chair": [[1, 2]]},
+                          "object_list": ["chair"]}}
+        row = {"problem": "How many chairs?", "problem_type": "numerical",
+               "solution": "<answer>3</answer>", "path": clip,
+               "data_type": "video", "data_source": "SR_dataset",
+               "problem_id": 0}
+        row.update(make_conversation(row, map_data))
+        args = SGRLVRConfig(
+            num_generations=2, rollout_batch_size=1,
+            max_prompt_length=256, max_completion_length=4,
+            learning_rate=1e-6, temporal=False, len_control=True,
+            max_steps=1, logging_steps=1, save_steps=100,
+            output_dir=os.path.join(work, "out"), prompt_bucket=128,
+            remat=True, logp_chunk=64,
+        )
+        trainer = SGRLVRTrainer(
+            cfg, params, proc, [accuracy_reward, format_reward], [row],
+            args, map_data=map_data, mesh=mesh,
+        )
+        rng = np.random.default_rng(0)
+        metrics = trainer.training_step([row], rng)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+        timings["train_step_s"] = time.time() - t0
+        _phase("train_step_done")
+        # free the 83 GB of opt-state moments + ref params BEFORE the
+        # checkpoint write: phase 4 only needs the policy params, and
+        # params+ref+moments+ckpt-write would exceed this host's 125 GB
+        trainer.opt_state = None
+        trainer.ref_params = None
+
+        # --- 4. model checkpoint at 7B scale (then free it)
+        t0 = time.time()
+        trainer.args.save_only_model = True
+        ck = trainer.save_checkpoint(os.path.join(work, "ckpt_out"))
+        _phase("checkpoint_saved")
+        sz = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(ck) for f in fs
+        )
+        assert sz > 10 * 1024**3, sz  # the full bf16 model really landed
+        shutil.rmtree(ck, ignore_errors=True)
+        del trainer
+        timings["checkpoint_s"] = time.time() - t0
+
+        # --- 5. eval harness, real engine, continuous batching @ 28 layers
+        t0 = time.time()
+        pq = os.path.join(work, "vsi.parquet")
+        vdir = os.path.join(work, "videos", "scannet")
+        os.makedirs(vdir)
+        _tiny_clip(os.path.join(vdir, "scene7b.mp4"))
+        pd.DataFrame([{
+            "id": 0, "dataset": "scannet", "scene_name": "scene7b",
+            "question": "How many chairs?", "options": [],
+            "ground_truth": "3", "question_type": "object_counting",
+        }]).to_parquet(pq)
+        engine = QwenEngine(cfg, params, proc, length_bucket=128)
+        ecfg = EvalConfig(
+            task="VSI-Bench", data_root=work,
+            output_dir=os.path.join(work, "eval_out"),
+            num_frames=4, batch_size=2, max_new_tokens=4,
+            prompt_type="default", data_file=pq,
+            video_dir=os.path.join(work, "videos"),
+            serving="continuous",
+        )
+        t_admit = time.time()
+        _phase("eval_start")
+        res = run_benchmark(ecfg, engine)
+        timings["eval_continuous_s"] = time.time() - t_admit
+        assert res is not None
+        timings["eval_total_s"] = time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print("DRESS_REHEARSAL_TIMINGS " + json.dumps(
+        {k: round(v, 1) for k, v in timings.items()}))
