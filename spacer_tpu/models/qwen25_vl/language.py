@@ -267,6 +267,85 @@ def _decode_layer(h, layer_params, prefix_entry, tail_entry, *,
     return h, new_tail
 
 
+def _decode_layer_hm(h, layer_params, prefix_entry, tail_entry, *,
+                     cfg: TextConfig, cos, sin, bias_p, tail_len,
+                     tail_index, group: int, use_kernel: bool):
+    """Head-major decode layer: attention through the fused flash-decode
+    Pallas kernel (ops/flash_decode.py) or its XLA reference.
+
+    Cache layout here is HEAD-MAJOR — prefix (pk, pv): (B, Hkv, P, Dh),
+    tail (tk, tv): (B*G, Hkv, T, Dh), int8 scales (…, P)/(…, T) — so each
+    (prompt, kv-head) kernel program reads contiguous HBM slabs (see the
+    flash_decode module docstring).  Same math as _decode_layer; the only
+    mask input is `bias_p` ((B, 1, P) additive f32, constant across the
+    decode) plus the scalar live tail length `tail_len`.
+    """
+    N, _, D = h.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    pk, pv = prefix_entry[0], prefix_entry[1]
+    quant = len(prefix_entry) == 4
+    B = pk.shape[0]
+    G = group
+    group_q = H // Hkv
+    p_attn = layer_params["self_attn"]
+
+    x = rms_norm(layer_params["input_layernorm"], h, cfg.rms_norm_eps)
+    q = dense(p_attn["q_proj"], x).reshape(N, 1, H, Dh)
+    k = dense(p_attn["k_proj"], x).reshape(N, 1, Hkv, Dh)
+    v = dense(p_attn["v_proj"], x).reshape(N, 1, Hkv, Dh)
+    q, k = apply_rope(q, k, cos, sin)
+
+    k_hm = jnp.transpose(k, (0, 2, 1, 3))      # (N, Hkv, 1, Dh)
+    v_hm = jnp.transpose(v, (0, 2, 1, 3))
+    tk, tv = tail_entry[0], tail_entry[1]
+    if quant:
+        from spacer_tpu.ops.quant import quantize_kv
+
+        tks, tvs = tail_entry[2], tail_entry[3]
+        kq, ks = quantize_kv(k_hm)             # scales (N, Hkv, 1)
+        vq, vs = quantize_kv(v_hm)
+        tk = jax.lax.dynamic_update_slice(tk, kq, (0, 0, tail_index, 0))
+        tv = jax.lax.dynamic_update_slice(tv, vq, (0, 0, tail_index, 0))
+        tks = jax.lax.dynamic_update_slice(tks, ks, (0, 0, tail_index))
+        tvs = jax.lax.dynamic_update_slice(tvs, vs, (0, 0, tail_index))
+        new_tail = (tk, tv, tks, tvs)
+    else:
+        tk = jax.lax.dynamic_update_slice(tk, k_hm.astype(tk.dtype),
+                                          (0, 0, tail_index, 0))
+        tv = jax.lax.dynamic_update_slice(tv, v_hm.astype(tv.dtype),
+                                          (0, 0, tail_index, 0))
+        new_tail = (tk, tv)
+
+    # q rows per (b, hkv): the group's G completions x group_q heads
+    q_hm = jnp.transpose(
+        q.reshape(B, G, Hkv, group_q, Dh), (0, 2, 1, 3, 4)
+    ).reshape(B, Hkv, G * group_q, Dh)
+
+    from spacer_tpu.ops import flash_decode as fd
+
+    if quant:
+        scales = (prefix_entry[2][:, :, None, :],
+                  prefix_entry[3][:, :, None, :],
+                  new_tail[2][:, :, None, :],
+                  new_tail[3][:, :, None, :])
+    else:
+        scales = (None, None, None, None)
+    attn_fn = (fd.flash_decode_attention if use_kernel
+               else fd.decode_attention_reference)
+    out = attn_fn(
+        q_hm, pk, pv, bias_p, new_tail[0], new_tail[1], tail_len, *scales,
+        group=G, group_q=group_q, sm_scale=Dh ** -0.5,
+    )
+    out = jnp.transpose(
+        out.reshape(B, Hkv, G, group_q, Dh), (0, 2, 1, 3, 4)
+    ).reshape(N, 1, H * Dh).astype(h.dtype)
+    h = h + dense(p_attn["o_proj"], out)
+
+    x = rms_norm(layer_params["post_attention_layernorm"], h, cfg.rms_norm_eps)
+    h = h + _mlp_block(layer_params["mlp"], x, cfg)
+    return h, new_tail
+
+
 def split_layers(stacked, num_layers: int):
     """Stacked (L, ...) pytree -> tuple of L per-layer pytrees.
 
@@ -324,22 +403,43 @@ def lm_decode_step_split(
     prefix_mask,          # (B, P)
     tail_split,           # tuple of L (tk, tv): (B*G, NEW, Hkv, Dh)
                           #   (or the int8 4-tuple likewise)
-    tail_mask,            # (B*G, NEW)
+    tail_mask,            # (B*G, NEW); ignored when head_major (tail_len)
     tail_index,
     group: int,
+    head_major: bool = False,
+    tail_len=None,        # scalar live tail length (head_major only)
+    use_kernel: bool = False,
 ):
-    """Per-layer-buffer decode step -> (logits, new tail_split)."""
+    """Per-layer-buffer decode step -> (logits, new tail_split).
+
+    head_major=True switches to the flash-decode cache layout/kernel path
+    (_decode_layer_hm): prefix entries (B, Hkv, P, Dh), tails
+    (B*G, Hkv, T, Dh), with `tail_len` replacing `tail_mask`.
+    """
     h = embed(params["embed_tokens"], input_ids)
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
     cos, sin = mrope_cos_sin(position_ids, inv_freq, cfg.mrope_section)
 
+    if head_major:
+        from spacer_tpu.ops.flash_decode import MASK_VALUE
+
+        bias_p = jnp.where(prefix_mask, 0.0, MASK_VALUE)[
+            :, None, :].astype(jnp.float32)
+
     new_tail = []
     for l in range(cfg.num_layers):
-        h, entry = _decode_layer(
-            h, layers[l], prefix_split[l], tail_split[l], cfg=cfg, cos=cos,
-            sin=sin, prefix_mask=prefix_mask, tail_mask=tail_mask,
-            tail_index=tail_index, group=group,
-        )
+        if head_major:
+            h, entry = _decode_layer_hm(
+                h, layers[l], prefix_split[l], tail_split[l], cfg=cfg,
+                cos=cos, sin=sin, bias_p=bias_p, tail_len=tail_len,
+                tail_index=tail_index, group=group, use_kernel=use_kernel,
+            )
+        else:
+            h, entry = _decode_layer(
+                h, layers[l], prefix_split[l], tail_split[l], cfg=cfg,
+                cos=cos, sin=sin, prefix_mask=prefix_mask,
+                tail_mask=tail_mask, tail_index=tail_index, group=group,
+            )
         new_tail.append(entry)
 
     h = rms_norm(params["norm"], h, cfg.rms_norm_eps)

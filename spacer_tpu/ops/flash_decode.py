@@ -1,0 +1,300 @@
+"""Fused shared-prefix flash-decode attention kernel (TPU Pallas).
+
+One decode step of the grouped rollout reads, per layer, the whole prefix
+KV (shared by the G completions of each prompt) plus every completion's
+tail KV.  The XLA einsum path (language.py _decode_layer) is correct but
+materializes the f32 logits and probs in HBM between the two matmuls —
+at B=8,G=8,P=2048 that is ~25MB of extra HBM traffic per layer per step,
+~15%% of the whole decode step's bytes — and it always reads the full tail
+BUCKET even when the live completion length is shorter.
+
+This kernel fuses logits -> online-softmax -> value matmul into one VMEM-
+resident program per (prompt, kv-head) and walks prefix chunks then tail
+chunks as the innermost grid axis.  Properties:
+
+- int8 KV (ops/quant.py quantize_kv codes + per-(position,head) scales)
+  dequantizes in VMEM: K scales multiply the f32 logits, V scales fold
+  into the probs, the int8->bf16 convert fuses into the matmul operand —
+  the same scale-folding contract as the XLA path.
+- the live tail length (the decode step counter) is a scalar-prefetch
+  argument: tail chunks beyond ceil(step/chunk) clamp their block index
+  to the last live chunk, so Pallas re-uses the resident block instead of
+  DMA-ing dead bucket space, and `pl.when` skips their compute.  Tail
+  reads scale with the LIVE length, not the bucket size.
+- the tail matmul runs as ONE (GQ, G*chunk) MXU op with a block-diagonal
+  (query-row group == tail-row) mask instead of G tiny batched dots
+  (ops/vit_window_attention.py found the single big masked matmul several
+  times faster than many small ones).
+
+Layout contract: HEAD-MAJOR caches — prefix (B, Hkv, P, Dh), tail
+(N, Hkv, T, Dh) — so each (b, h) program's chunks are contiguous HBM
+slabs; (B, P, Hkv, Dh) would make every 128-lane row a strided 128-byte
+read, wasting DMA granularity.  The sampler transposes the prefix cache
+once per generate call (amortized over the whole decode) and allocates
+tail buffers head-major directly.
+
+Role parity: the decode half of flash-attn / vLLM's paged-attention
+kernel in the reference stack (vllm_grpo_trainer_modified.py rollouts);
+the shared-prefix grouping itself has no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -1e30
+
+
+def _chunk_for(size: int, candidates=(512, 256, 128)) -> int | None:
+    for c in candidates:
+        if size % c == 0 and size >= c:
+            return c
+    return size if size > 0 else None
+
+
+def flash_decode_supported(P: int, T: int, Dh: int, GQ: int) -> bool:
+    """Mosaic-legality gate (CPU interpret mode does not enforce tiling,
+    so callers must consult this before taking the kernel path)."""
+    # q/out blocks cover the full GQ dim (full-array dims are always
+    # tile-legal); the chunked dims must be 128-multiples on real TPU
+    return Dh == 128 and P % 128 == 0 and T % 128 == 0 and GQ >= 1
+
+
+def _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref, tv_ref,
+            pks_ref, pvs_ref, tks_ref, tvs_ref,
+            o_ref, m_sc, l_sc, acc_sc, *,
+            NP: int, chunk_p: int, chunk_t: int, G: int, group_q: int,
+            sm_scale: float, quant: bool):
+    """One grid step: fold one prefix chunk (c < NP) or one tail chunk
+    into the (m, l, acc) online-softmax state for this (b, h) program."""
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
+    step = step_ref[0]
+    nt_live = jnp.maximum((step + chunk_t - 1) // chunk_t, 1)
+
+    @pl.when(c == 0)
+    def _init():
+        m_sc[...] = jnp.full_like(m_sc, MASK_VALUE)
+        l_sc[...] = jnp.zeros_like(l_sc)
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+
+    q = q_ref[...]                       # (GQ, Dh)
+    GQ = q.shape[0]
+    cdt = q.dtype
+
+    def online_update(s, v, v_scale):
+        # s: (GQ, C) f32 masked logits; v: (C, Dh); v_scale: (1, C) or None
+        m_old = m_sc[...]                # (GQ, 128) broadcast columns
+        l_old = l_sc[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)       # (GQ, 1)
+        m_new = jnp.maximum(m_old, m_cur)                # (GQ, 128)
+        alpha = jnp.exp(m_old[:, :1] - m_new[:, :1])     # (GQ, 1)
+        p = jnp.exp(s - m_new[:, :1])                    # (GQ, C) f32
+        l_new = alpha * l_old[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        if v_scale is not None:
+            p = p * v_scale                              # fold V scales
+        pv = jax.lax.dot_general(
+            p.astype(cdt), v.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (GQ, Dh)
+        acc_sc[...] = acc_sc[...] * alpha + pv
+        m_sc[...] = jnp.broadcast_to(m_new[:, :1], m_sc.shape)
+        l_sc[...] = jnp.broadcast_to(l_new, l_sc.shape)
+
+    @pl.when(c < NP)
+    def _prefix():
+        k = pk_ref[...]                  # (chunk_p, Dh)
+        s = jax.lax.dot_general(
+            q, k.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                     # (GQ, chunk_p)
+        if quant:
+            s = s * pks_ref[...]         # (1, chunk_p) K scales on logits
+        s = s + bias_ref[...]            # (1, chunk_p) 0 / -1e30 pad mask
+        online_update(s, pv_ref[...],
+                      pvs_ref[...] if quant else None)
+
+    @pl.when((c >= NP) & (c - NP < nt_live))
+    def _tail():
+        kt = tk_ref[...]                 # (G, chunk_t, Dh)
+        kt_flat = kt.reshape(G * chunk_t, kt.shape[-1])
+        s = jax.lax.dot_general(
+            q, kt_flat.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                     # (GQ, G*chunk_t)
+        if quant:
+            s = s * tks_ref[...].reshape(1, G * chunk_t)
+        # block-diagonal validity: query row i serves completion row
+        # i // group_q; tail col j belongs to row j // chunk_t at global
+        # position tc*chunk_t + j % chunk_t, valid while < step
+        tc = c - NP
+        rows = jax.lax.broadcasted_iota(jnp.int32, (GQ, G * chunk_t), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (GQ, G * chunk_t), 1)
+        pos = tc * chunk_t + cols % chunk_t
+        valid = ((rows // group_q) == (cols // chunk_t)) & (pos < step)
+        s = jnp.where(valid, s, MASK_VALUE)
+        tvs = tvs_ref[...].reshape(1, G * chunk_t) if quant else None
+        online_update(s, tv_ref[...].reshape(G * chunk_t, kt.shape[-1]),
+                      tvs)
+
+    @pl.when(c == nc - 1)
+    def _finalize():
+        o_ref[...] = (acc_sc[...] / l_sc[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "group_q", "sm_scale", "interpret"),
+)
+def flash_decode_attention(
+    q,                  # (B, Hkv, GQ, Dh) — GQ = G*group_q rows per prompt
+    pk, pv,             # (B, Hkv, P, Dh) bf16, or int8 codes
+    bias_p,             # (B, 1, P) f32 additive prefix mask (0 / -1e30)
+    tk, tv,             # (N, Hkv, T, Dh) — N = B*G completion rows
+    step,               # scalar int32: live tail length (>= 1)
+    pk_scale=None, pv_scale=None,   # (B, Hkv, 1, P) f32 for int8 caches
+    tk_scale=None, tv_scale=None,   # (N, Hkv, 1, T) f32
+    *, group: int, group_q: int, sm_scale: float, interpret: bool = False,
+):
+    """Fused shared-prefix + per-row-tail decode attention.
+
+    Returns (B, Hkv, GQ, Dh) f32 attention outputs.  Query row g*group_q+c
+    of prompt b is head (hkv*group_q + c) of completion row b*group + g.
+    """
+    B, Hkv, GQ, Dh = q.shape
+    P = pk.shape[2]
+    T = tk.shape[2]
+    G = group
+    quant = pk_scale is not None
+    chunk_p = _chunk_for(P)
+    chunk_t = _chunk_for(T, (256, 128))
+    NP = P // chunk_p
+    NT = T // chunk_t
+
+    def idx_q(b, h, c, step_ref):
+        return (b, h, 0, 0)
+
+    def idx_prefix(b, h, c, step_ref):
+        return (b, h, jnp.minimum(c, NP - 1), 0)
+
+    def idx_bias(b, h, c, step_ref):
+        return (b, 0, jnp.minimum(c, NP - 1))
+
+    def idx_tail(b, h, c, step_ref):
+        nt_live = jnp.maximum((step_ref[0] + chunk_t - 1) // chunk_t, 1)
+        tc = jnp.clip(c - NP, 0, nt_live - 1)
+        return (b, h, tc, 0)
+
+    def idx_pscale(b, h, c, step_ref):
+        return (b, h, 0, jnp.minimum(c, NP - 1))
+
+    def idx_tscale(b, h, c, step_ref):
+        nt_live = jnp.maximum((step_ref[0] + chunk_t - 1) // chunk_t, 1)
+        tc = jnp.clip(c - NP, 0, nt_live - 1)
+        return (b, h, 0, tc)
+
+    in_specs = [
+        pl.BlockSpec((None, None, GQ, Dh), idx_q),
+        pl.BlockSpec((None, None, chunk_p, Dh), idx_prefix),
+        pl.BlockSpec((None, None, chunk_p, Dh), idx_prefix),
+        pl.BlockSpec((None, 1, chunk_p), idx_bias),
+        pl.BlockSpec((G, None, chunk_t, Dh), idx_tail),
+        pl.BlockSpec((G, None, chunk_t, Dh), idx_tail),
+    ]
+    operands = [q, pk, pv, bias_p, tk, tv]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((None, None, 1, chunk_p), idx_pscale),
+            pl.BlockSpec((None, None, 1, chunk_p), idx_pscale),
+            pl.BlockSpec((G, None, 1, chunk_t), idx_tscale),
+            pl.BlockSpec((G, None, 1, chunk_t), idx_tscale),
+        ]
+        operands += [pk_scale, pv_scale, tk_scale, tv_scale]
+
+    if quant:
+        kernel = functools.partial(
+            _kernel, NP=NP, chunk_p=chunk_p, chunk_t=chunk_t, G=G,
+            group_q=group_q, sm_scale=sm_scale, quant=True,
+        )
+    else:
+        def kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref,
+                   tv_ref, o_ref, m_sc, l_sc, acc_sc):
+            return _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref,
+                           tk_ref, tv_ref, None, None, None, None,
+                           o_ref, m_sc, l_sc, acc_sc, NP=NP,
+                           chunk_p=chunk_p, chunk_t=chunk_t, G=G,
+                           group_q=group_q, sm_scale=sm_scale, quant=False)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, NP + NT),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, None, GQ, Dh), idx_q),
+        scratch_shapes=[
+            pltpu.VMEM((GQ, 128), jnp.float32),
+            pltpu.VMEM((GQ, 128), jnp.float32),
+            pltpu.VMEM((GQ, Dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, GQ, Dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(step, jnp.int32).reshape(1), *operands)
+    return out
+
+
+def decode_attention_reference(
+    q, pk, pv, bias_p, tk, tv, step,
+    pk_scale=None, pv_scale=None, tk_scale=None, tv_scale=None,
+    *, group: int, group_q: int, sm_scale: float,
+):
+    """XLA reference with identical semantics/signature (head-major), used
+    for kernel parity tests and as the non-TPU fallback."""
+    B, Hkv, GQ, Dh = q.shape
+    G = group
+    cdt = q.dtype if q.dtype != jnp.float32 else jnp.float32
+    qf = q.reshape(B, Hkv, G, group_q, Dh)
+    lp = jnp.einsum("bhgcd,bhpd->bhgcp", qf, pk.astype(cdt),
+                    preferred_element_type=jnp.float32) * sm_scale
+    if pk_scale is not None:
+        lp = lp * pk_scale[:, :, None, :, :]  # (B,Hkv,1,P)->(B,Hkv,1,1,P)
+    lp = lp + bias_p[:, None, None, :, :]
+    qt = jnp.transpose(qf, (0, 2, 1, 3, 4)).reshape(B * G, Hkv, group_q, Dh)
+    tkh = tk.astype(cdt)
+    lt = jnp.einsum("nhcd,nhtd->nhct", qt, tkh,
+                    preferred_element_type=jnp.float32) * sm_scale
+    if tk_scale is not None:
+        lt = lt * tk_scale  # (N,Hkv,1,T) broadcasts over group_q
+    T = tk.shape[2]
+    tmask = jnp.arange(T)[None, None, None, :] < step
+    lt = jnp.where(tmask, lt, MASK_VALUE)
+    lp_rows = jnp.transpose(lp, (0, 2, 1, 3, 4)).reshape(
+        B * G, Hkv, group_q, -1)
+    full = jnp.concatenate([lp_rows, lt], axis=-1)
+    probs = jax.nn.softmax(full, axis=-1)
+    P = pk.shape[2]
+    probs_p = probs[..., :P].reshape(B, G, Hkv, group_q, P)
+    probs_t = probs[..., P:]
+    if pv_scale is not None:
+        probs_p = probs_p * pv_scale[:, None, :, 0, None, :]
+    if tv_scale is not None:
+        probs_t = probs_t * tv_scale
+    out_p = jnp.einsum("bghcp,bhpd->bghcd", probs_p.astype(cdt),
+                       pv.astype(cdt), preferred_element_type=jnp.float32)
+    out_t = jnp.einsum("nhct,nhtd->nhcd", probs_t.astype(cdt),
+                       tv.astype(cdt), preferred_element_type=jnp.float32)
+    out = out_p.reshape(B * G, Hkv, group_q, Dh) + out_t
+    # back to (B, Hkv, GQ, Dh)
+    return jnp.transpose(
+        out.reshape(B, G, Hkv, group_q, Dh), (0, 2, 1, 3, 4)
+    ).reshape(B, Hkv, GQ, Dh)

@@ -92,6 +92,7 @@ def _decode_loop(
     params, text_cfg, prefix_cache, prefix_mask, tail_cache, first_tokens,
     deltas, prompt_len, group: int, max_new_tokens: int, temperature: float,
     top_p: float, eos_token_id: int, rng, decode_quant=None,
+    decode_impl=None,
 ):
     """Shared-prefix autoregressive loop. Returns tokens (B*G, max_new).
 
@@ -109,6 +110,12 @@ def _decode_loop(
     decode_quant="int8_kv": int8 weights AND int8 KV caches (per-vector
     scales, ops/quant.py quantize_kv) — also halves the per-step prefix +
     tail cache reads, the dominant term at long prefixes/completions.
+
+    decode_impl="flash": head-major cache layout + the fused flash-decode
+    Pallas kernel (ops/flash_decode.py) — logits/softmax/value matmul stay
+    in VMEM and dead tail-bucket space is never read.  "flash_ref" runs
+    the same layout through the kernel's XLA reference (CPU-testable).
+    None/"xla" keeps the einsum path.
     """
     from spacer_tpu.models.qwen25_vl.language import (
         lm_decode_step_split,
@@ -132,6 +139,18 @@ def _decode_loop(
     layers = split_layers(layer_params, L)
     prefix_split = split_layers((prefix_cache["k"], prefix_cache["v"]), L)
     tail_split = split_layers((tail_cache["k"], tail_cache["v"]), L)
+    head_major = decode_impl in ("flash", "flash_ref")
+    if head_major:
+        # flash-decode layout: (B, P, Hkv, Dh) -> (B, Hkv, P, Dh) once per
+        # generate call (amortized over the decode); tails are still zeros
+        prefix_split = tuple(
+            tuple(jnp.transpose(t, (0, 2, 1, 3)) for t in e)
+            for e in prefix_split
+        )
+        tail_split = tuple(
+            tuple(jnp.transpose(t, (0, 2, 1, 3)) for t in e)
+            for e in tail_split
+        )
     if decode_quant == "int8_kv":
         from spacer_tpu.ops.quant import quantize_kv
 
@@ -156,6 +175,8 @@ def _decode_loop(
     tokens0 = tokens0.at[:, 0].set(first_tokens.astype(jnp.int32))
     done0 = first_tokens == eos_token_id
 
+    use_kernel = decode_impl == "flash"
+
     def make_body(bucket: int):
         tail_positions = jnp.arange(bucket)
 
@@ -166,12 +187,14 @@ def _decode_loop(
             pos = (prompt_len + deltas.reshape(-1) + step - 1).astype(
                 jnp.int32)
             pos3 = jnp.broadcast_to(pos[None, :, None], (3, N, 1))
-            tail_mask = jnp.broadcast_to(
+            tail_mask = (None if head_major else jnp.broadcast_to(
                 tail_positions[None, :] < step, (N, bucket)
-            )
+            ))
             logits, tail_split = lm_decode_step_split(
                 layers, params["model"], text_cfg, cur, pos3, prefix_split,
                 prefix_mask, tail_split, tail_mask, step - 1, group,
+                head_major=head_major, tail_len=step,
+                use_kernel=use_kernel,
             )
             rng, sub = jax.random.split(rng)
             nxt = sample_logits(logits[:, -1], sub, temperature, top_p)
@@ -199,14 +222,19 @@ def _decode_loop(
         bucket *= 2
     boundaries.append(max_new_tokens)
 
+    # the tail-length axis: 1 in the standard (N, T, Hkv[, Dh]) layout,
+    # 2 in head-major (N, Hkv, T[, Dh]) — caches AND scales alike
+    t_ax = 2 if head_major else 1
+
     def shrink(ts, size):
-        return tuple(tuple(t[:, :size] for t in entry) for entry in ts)
+        sl = (slice(None),) * t_ax + (slice(None, size),)
+        return tuple(tuple(t[sl] for t in entry) for entry in ts)
 
     def grow(ts, new_size):
         def pad(t):
+            shape = t.shape[:t_ax] + (new_size,) + t.shape[t_ax + 1:]
             return jax.lax.dynamic_update_slice(
-                jnp.zeros((t.shape[0], new_size) + t.shape[2:], t.dtype),
-                t, (0,) * t.ndim,
+                jnp.zeros(shape, t.dtype), t, (0,) * t.ndim,
             )
 
         return tuple(tuple(pad(t) for t in entry) for entry in ts)
@@ -233,13 +261,14 @@ def _decode_loop(
     jax.jit,
     static_argnames=(
         "text_cfg", "num_generations", "max_new_tokens", "temperature",
-        "top_p", "eos_token_id", "attn_impl", "decode_quant",
+        "top_p", "eos_token_id", "attn_impl", "decode_quant", "decode_impl",
     ),
 )
 def _generate_jit(
     params, text_cfg, input_embeds, position_ids, prompt_mask, deltas, rng,
     *, num_generations: int, max_new_tokens: int, temperature: float,
     top_p: float, eos_token_id: int, attn_impl=None, decode_quant=None,
+    decode_impl=None,
 ):
     """Prefill once per prompt; decode with the prompt KV SHARED across the
     G completions (one prefix read per step for the whole group) and a
@@ -265,7 +294,7 @@ def _generate_jit(
     tokens = _decode_loop(
         params, text_cfg, prefix_cache, prefix_mask, tail_cache, first,
         deltas, S, G, max_new_tokens, temperature, top_p, eos_token_id, rng,
-        decode_quant=decode_quant,
+        decode_quant=decode_quant, decode_impl=decode_impl,
     )
     return tokens
 
@@ -314,7 +343,8 @@ class Sampler:
 
     def __init__(self, cfg, eos_token_id: int | None = None,
                  pad_token_id: int | None = None, attn_impl: str | None = None,
-                 length_bucket: int = 128, decode_quant: str | None = None):
+                 length_bucket: int = 128, decode_quant: str | None = None,
+                 decode_impl: str | None = None):
         import os
 
         from spacer_tpu.models.registry import family_for_config
@@ -331,6 +361,27 @@ class Sampler:
             decode_quant if decode_quant is not None
             else os.environ.get("SPACER_DECODE_QUANT") or None
         )
+        # decode attention impl: "flash" (fused Pallas kernel, head-major
+        # caches), "flash_ref" (same layout, XLA math — CPU-testable),
+        # "xla" (einsum path), or None = auto (flash on TPU when the
+        # kernel's tiling holds, xla otherwise)
+        self.decode_impl = (
+            decode_impl if decode_impl is not None
+            else os.environ.get("SPACER_DECODE_IMPL") or None
+        )
+
+    def _resolve_decode_impl(self) -> str | None:
+        if self.decode_impl in ("xla",):
+            return None
+        if self.decode_impl in ("flash", "flash_ref"):
+            return self.decode_impl
+        # auto: the kernel needs the 128-lane head dim; everything else
+        # (prefix/tail buckets) is legal by construction (128-multiples or
+        # full-array blocks)
+        if (jax.default_backend() == "tpu"
+                and self.cfg.text.head_dim == 128):
+            return "flash"
+        return None
 
     def _bucket(self, n: int) -> int:
         b = self.length_bucket
@@ -428,6 +479,7 @@ class Sampler:
                 temperature=temp, top_p=topp,
                 eos_token_id=self.eos_token_id, attn_impl=self.attn_impl,
                 decode_quant=self.decode_quant,
+                decode_impl=self._resolve_decode_impl(),
             )
         tokens = np.asarray(tokens)
         mask = completion_mask_from_ids(tokens, self.eos_token_id)

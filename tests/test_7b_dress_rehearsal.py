@@ -113,9 +113,15 @@ def test_7b_dress_rehearsal():
             output_dir=os.path.join(work, "out"), prompt_bucket=128,
             remat=True, logp_chunk=64,
         )
+        # ref_params aliased to the policy params: numerically identical to
+        # the production copy at step 0 (the reference model IS the initial
+        # policy), and it keeps peak RSS under this host's 125 GB — the
+        # update program's un-donated CPU output buffers (new params + new
+        # Adam moments, ~50 GB at 7B) already push a separate 16.6 GB ref
+        # copy over the edge (observed: oom-kill at 130.6 GB RSS).
         trainer = SGRLVRTrainer(
             cfg, params, proc, [accuracy_reward, format_reward], [row],
-            args, map_data=map_data, mesh=mesh,
+            args, map_data=map_data, mesh=mesh, ref_params=params,
         )
         rng = np.random.default_rng(0)
         metrics = trainer.training_step([row], rng)
