@@ -82,12 +82,18 @@ def grpo_loss(per_token_logps, ref_per_token_logps, advantages,
               completion_mask, beta: float = 0.04):
     """Returns (loss, metrics dict). All inputs over completion tokens only.
 
-    per_token_logps: (N, C); ref_per_token_logps: (N, C) [no grad];
+    per_token_logps: (N, C); ref_per_token_logps: (N, C) [no grad], or
+    None when beta == 0 (no-KL training, TRL GRPOConfig beta=0 semantics —
+    the reference model is never evaluated);
     advantages: (N,); completion_mask: (N, C) in {0, 1}.
     """
-    per_token_kl = k3_kl(
-        jax.lax.stop_gradient(ref_per_token_logps), per_token_logps
-    )
+    if ref_per_token_logps is None:
+        assert beta == 0.0, "ref logps required when beta != 0"
+        per_token_kl = jnp.zeros_like(per_token_logps)
+    else:
+        per_token_kl = k3_kl(
+            jax.lax.stop_gradient(ref_per_token_logps), per_token_logps
+        )
     ratio = jnp.exp(per_token_logps - jax.lax.stop_gradient(per_token_logps))
     per_token_loss = ratio * advantages[:, None]
     per_token_loss = -(per_token_loss - beta * per_token_kl)

@@ -259,7 +259,11 @@ def make_grpo_train_step(
                      grids_per_prompt=None):
         """Reference logps as a standalone jit: the trainer dispatches this
         asynchronously right after rollout so it overlaps with host-side
-        reward computation."""
+        reward computation.  At beta == 0 the KL term vanishes, so the
+        reference forward is skipped entirely (TRL GRPOConfig beta=0
+        semantics: no ref model)."""
+        if beta == 0.0:
+            return None
         prompt_len = prompt_len if prompt_len is not None else bound_prompt_len
         return _logps(ref_params, batch, grid_thw, num_generations,
                       prompt_len, grids_per_prompt)
@@ -274,14 +278,15 @@ def make_grpo_train_step(
              num_generations: int = 1, prompt_len: int | None = None,
              grids_per_prompt=None):
         prompt_len = prompt_len if prompt_len is not None else bound_prompt_len
-        if "ref_logps" in batch:
-            ref_logps = batch["ref_logps"]
+        if beta == 0.0:
+            ref_logps = None  # KL-free: the ref forward never runs
+        elif "ref_logps" in batch:
+            ref_logps = jax.lax.stop_gradient(batch["ref_logps"])
         else:
-            ref_logps = ref_logps_fn(
+            ref_logps = jax.lax.stop_gradient(ref_logps_fn(
                 ref_params, batch, grid_thw, num_generations, prompt_len,
                 grids_per_prompt,
-            )
-        ref_logps = jax.lax.stop_gradient(ref_logps)
+            ))
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, ref_logps,

@@ -157,8 +157,11 @@ class SGRLVRTrainer:
         self.mesh = mesh
 
         self.params = params
+        # beta == 0 means no KL term: never materialize a reference copy
+        # (TRL GRPO's beta=0 loads no ref model; at 7B the copy is 16.6GB)
         self.ref_params = (
             ref_params if ref_params is not None
+            else None if args.beta == 0.0
             else jax.tree.map(jnp.copy, params)
         )
         # pixel wire dtype: ship bf16 only when the patch embed actually

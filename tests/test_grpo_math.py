@@ -99,3 +99,29 @@ def test_length_control_bonus():
     acc2 = np.array([0.9, 0.05, 0.05, 0.05])
     out2 = length_control_bonus(rewards, acc2, lengths)
     np.testing.assert_allclose(out2, rewards)
+
+
+def test_beta_zero_skips_reference():
+    """beta == 0 drops the KL term entirely (TRL GRPOConfig beta=0: no ref
+    model) — grpo_loss accepts ref=None with identical loss/grads to a
+    beta=0 call with any ref tensor."""
+    rng = np.random.default_rng(3)
+    pol = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    ref = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    adv = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+    mask = jnp.ones((4, 8), jnp.int32)
+
+    def loss_with(refv):
+        return grpo_loss(pol, refv, adv, mask, beta=0.0)[0]
+
+    l_none, g_none = jax.value_and_grad(
+        lambda p: grpo_loss(p, None, adv, mask, beta=0.0)[0])(pol)
+    l_ref, g_ref = jax.value_and_grad(
+        lambda p: grpo_loss(p, ref, adv, mask, beta=0.0)[0])(pol)
+    np.testing.assert_allclose(float(l_none), float(l_ref), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_none), np.asarray(g_ref),
+                               rtol=1e-7)
+    _, metrics = grpo_loss(pol, None, adv, mask, beta=0.0)
+    assert float(metrics["kl"]) == 0.0
+    with pytest.raises(AssertionError):
+        grpo_loss(pol, None, adv, mask, beta=0.04)

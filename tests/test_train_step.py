@@ -266,3 +266,31 @@ def test_shared_prefix_schema_matches_packed():
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5),
         pa, pb,
     )
+
+
+def test_grpo_step_beta_zero_no_ref():
+    """beta=0: the step runs with ref_params=None (no reference forward at
+    all) and reproduces the step-0 loss formula; KL metric is exactly 0.
+    Matches TRL GRPOConfig beta=0 semantics (no ref model materialized)."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    tx = make_optimizer(learning_rate=1e-3, total_steps=100)
+    opt_state = tx.init(params)
+    P_len, C, G = 64, 16, 4
+    batch, grid = _make_batch(cfg, B=1, G=G, P_len=P_len, C=C)
+    step = make_grpo_train_step(
+        cfg, tx, beta=0.0, prompt_len=P_len, remat=True, attn_impl="xla",
+        logp_chunk=8,
+    )
+    assert step.ref_logps_fn(None, batch, grid, G) is None
+    with jax.default_matmul_precision("highest"):
+        params2, opt_state, metrics = step(
+            params, None, opt_state, batch, grid_thw=grid,
+            num_generations=G,
+        )
+    adv, m = batch["advantages"], batch["completion_mask"]
+    expected = -np.mean((adv[:, None] * m).sum(1) / m.sum(1))
+    np.testing.assert_allclose(float(metrics["loss"]), expected,
+                               rtol=1e-3, atol=1e-4)
+    assert float(metrics["kl"]) == 0.0
+    assert np.isfinite(float(metrics["grad_norm"]))
