@@ -87,8 +87,8 @@ def _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref, tv_ref,
     GQ = q.shape[0]
     cdt = q.dtype
 
-    def online_update(s, v, v_scale):
-        # s: (GQ, C) f32 masked logits; v: (C, Dh); v_scale: (1, C) or None
+    def fold(s, p_to_out):
+        # s: (GQ, C) f32 masked logits; p_to_out(p bf16 (GQ, C)) -> (GQ, Dh)
         m_old = m_sc[...]                # (GQ, 128) broadcast columns
         l_old = l_sc[...]
         m_cur = jnp.max(s, axis=-1, keepdims=True)       # (GQ, 1)
@@ -96,13 +96,7 @@ def _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref, tv_ref,
         alpha = jnp.exp(m_old[:, :1] - m_new[:, :1])     # (GQ, 1)
         p = jnp.exp(s - m_new[:, :1])                    # (GQ, C) f32
         l_new = alpha * l_old[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        if v_scale is not None:
-            p = p * v_scale                              # fold V scales
-        pv = jax.lax.dot_general(
-            p.astype(cdt), v.astype(cdt), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (GQ, Dh)
-        acc_sc[...] = acc_sc[...] * alpha + pv
+        acc_sc[...] = acc_sc[...] * alpha + p_to_out(p)
         m_sc[...] = jnp.broadcast_to(m_new[:, :1], m_sc.shape)
         l_sc[...] = jnp.broadcast_to(l_new, l_sc.shape)
 
@@ -116,35 +110,55 @@ def _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref, tv_ref,
         if quant:
             s = s * pks_ref[...]         # (1, chunk_p) K scales on logits
         s = s + bias_ref[...]            # (1, chunk_p) 0 / -1e30 pad mask
-        online_update(s, pv_ref[...],
-                      pvs_ref[...] if quant else None)
+
+        def p_to_out(p):
+            if quant:
+                p = p * pvs_ref[...]     # fold V scales into the probs
+            return jax.lax.dot_general(
+                p.astype(cdt), pv_ref[...].astype(cdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        fold(s, p_to_out)
 
     @pl.when((c >= NP) & (c - NP < nt_live))
     def _tail():
+        # batched (over the G completion rows) q.k — true logits only: a
+        # flattened (GQ, G*chunk) block-diagonal matmul would exp/mask Gx
+        # more VPU elements than exist, and exp is the decode VPU bottleneck
         kt = tk_ref[...]                 # (G, chunk_t, Dh)
-        kt_flat = kt.reshape(G * chunk_t, kt.shape[-1])
+        qg = q.reshape(G, group_q, q.shape[-1])
         s = jax.lax.dot_general(
-            q, kt_flat.astype(cdt), (((1,), (1,)), ((), ())),
+            qg, kt.astype(cdt), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * sm_scale                     # (GQ, G*chunk_t)
+        ).reshape(GQ, chunk_t) * sm_scale    # rows g*group_q+c, cols = pos
         if quant:
-            s = s * tks_ref[...].reshape(1, G * chunk_t)
-        # block-diagonal validity: query row i serves completion row
-        # i // group_q; tail col j belongs to row j // chunk_t at global
-        # position tc*chunk_t + j % chunk_t, valid while < step
+            s = (s.reshape(G, group_q, chunk_t)
+                 * tks_ref[...].reshape(G, 1, chunk_t)).reshape(GQ, chunk_t)
         tc = c - NP
-        rows = jax.lax.broadcasted_iota(jnp.int32, (GQ, G * chunk_t), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (GQ, G * chunk_t), 1)
-        pos = tc * chunk_t + cols % chunk_t
-        valid = ((rows // group_q) == (cols // chunk_t)) & (pos < step)
-        s = jnp.where(valid, s, MASK_VALUE)
-        tvs = tvs_ref[...].reshape(1, G * chunk_t) if quant else None
-        online_update(s, tv_ref[...].reshape(G * chunk_t, kt.shape[-1]),
-                      tvs)
+        pos = tc * chunk_t + jax.lax.broadcasted_iota(
+            jnp.int32, (GQ, chunk_t), 1)
+        s = jnp.where(pos < step, s, MASK_VALUE)
+
+        def p_to_out(p):
+            pg = p.reshape(G, group_q, chunk_t)
+            if quant:
+                pg = pg * tvs_ref[...].reshape(G, 1, chunk_t)
+            return jax.lax.dot_general(
+                pg.astype(cdt), tv_ref[...].astype(cdt),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(GQ, q.shape[-1])
+
+        fold(s, p_to_out)
 
     @pl.when(c == nc - 1)
     def _finalize():
-        o_ref[...] = (acc_sc[...] / l_sc[:, :1]).astype(o_ref.dtype)
+        # rows with no valid position (empty/done serving slots) produce 0
+        # instead of 0/0 NaN; their outputs are discarded by the caller
+        denom = jnp.maximum(l_sc[:, :1], 1e-30)
+        o_ref[...] = (acc_sc[...] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -250,6 +264,205 @@ def flash_decode_attention(
         ),
         interpret=interpret,
     )(jnp.asarray(step, jnp.int32).reshape(1), *operands)
+    return out
+
+
+def _ragged_kernel(q_ref, pk_ref, pv_ref, bias_p_ref, tk_ref, tv_ref,
+                   bias_t_ref, pks_ref, pvs_ref, tks_ref, tvs_ref,
+                   o_ref, m_sc, l_sc, acc_sc, *,
+                   NP: int, chunk_p: int, chunk_t: int, RB: int,
+                   group_q: int, sm_scale: float, quant: bool):
+    """Clock-ring serving variant: RB independent rows per program, both
+    the prefix and the ring masked by per-row additive biases.  Each chunk
+    runs as ONE (RB*group_q, RB*chunk) MXU matmul with a block-diagonal
+    row-match mask (see _kernel's tail phase)."""
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
+
+    @pl.when(c == 0)
+    def _init():
+        m_sc[...] = jnp.full_like(m_sc, MASK_VALUE)
+        l_sc[...] = jnp.zeros_like(l_sc)
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+
+    q = q_ref[...].reshape(RB * group_q, q_ref.shape[-1])
+    cdt = q.dtype
+    GQ = RB * group_q
+
+    def fold(k_ref2, v_ref2, bias_ref2, ks_ref2, vs_ref2, chunk):
+        # RB-batched q.k: true logits only (a flattened block-diagonal
+        # matmul would exp/mask RBx more VPU elements than exist)
+        k = k_ref2[...]                          # (RB, chunk, Dh)
+        qg = q.reshape(RB, group_q, q.shape[-1])
+        s = jax.lax.dot_general(
+            qg, k.astype(cdt), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                             # (RB, group_q, chunk)
+        if quant:
+            s = s * ks_ref2[...].reshape(RB, 1, chunk)
+        s = (s + bias_ref2[...].reshape(RB, 1, chunk)).reshape(GQ, chunk)
+        m_old = m_sc[...]
+        l_old = l_sc[...]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old[:, :1] - m_new[:, :1])
+        p = jnp.exp(s - m_new[:, :1])
+        l_new = alpha * l_old[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pg = p.reshape(RB, group_q, chunk)
+        if quant:
+            pg = pg * vs_ref2[...].reshape(RB, 1, chunk)
+        pv = jax.lax.dot_general(
+            pg.astype(cdt), v_ref2[...].astype(cdt),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(GQ, q.shape[-1])
+        acc_sc[...] = acc_sc[...] * alpha + pv
+        m_sc[...] = jnp.broadcast_to(m_new[:, :1], m_sc.shape)
+        l_sc[...] = jnp.broadcast_to(l_new, l_sc.shape)
+
+    @pl.when(c < NP)
+    def _prefix():
+        fold(pk_ref, pv_ref, bias_p_ref, pks_ref, pvs_ref, chunk_p)
+
+    @pl.when(c >= NP)
+    def _ring():
+        fold(tk_ref, tv_ref, bias_t_ref, tks_ref, tvs_ref, chunk_t)
+
+    @pl.when(c == nc - 1)
+    def _finalize():
+        denom = jnp.maximum(l_sc[:, :1], 1e-30)
+        o_ref[...] = (acc_sc[...] / denom).reshape(
+            o_ref.shape).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_q", "sm_scale", "interpret"),
+)
+def flash_ragged_decode_attention(
+    q,                  # (R, Hkv, group_q, Dh) — one token per slot row
+    pk, pv,             # (R, Hkv, Pmax, Dh) bf16 or int8 codes
+    bias_p,             # (R, 1, Pmax) f32 additive prefix mask
+    tk, tv,             # (R, Hkv, Cmax, Dh) clock-ring caches
+    bias_t,             # (R, 1, Cmax) f32 additive ring-window mask
+    pk_scale=None, pv_scale=None,   # (R, Hkv, 1, Pmax) f32 for int8
+    tk_scale=None, tv_scale=None,   # (R, Hkv, 1, Cmax) f32
+    *, group_q: int, sm_scale: float, interpret: bool = False,
+):
+    """Fused decode attention for the serving clock-ring layout
+    (serving/ragged.py): per-row independent prefix + ring windows, both
+    expressed as additive biases.  Returns (R, Hkv, group_q, Dh) f32."""
+    R, Hkv, gq, Dh = q.shape
+    P = pk.shape[2]
+    T = tk.shape[2]
+    quant = pk_scale is not None
+    chunk_p = _chunk_for(P)
+    chunk_t = _chunk_for(T, (256, 128))
+    NP = P // chunk_p
+    NT = T // chunk_t
+    RB = 8 if R % 8 == 0 else (4 if R % 4 == 0 else 1)
+
+    def idx_q(r, h, c):
+        return (r, h, 0, 0)
+
+    def idx_prefix(r, h, c):
+        return (r, h, jnp.minimum(c, NP - 1), 0)
+
+    def idx_bias_p(r, h, c):
+        return (r, 0, jnp.minimum(c, NP - 1))
+
+    def idx_ring(r, h, c):
+        return (r, h, jnp.maximum(c - NP, 0), 0)
+
+    def idx_bias_t(r, h, c):
+        return (r, 0, jnp.maximum(c - NP, 0))
+
+    def idx_pscale(r, h, c):
+        return (r, h, 0, jnp.minimum(c, NP - 1))
+
+    def idx_tscale(r, h, c):
+        return (r, h, 0, jnp.maximum(c - NP, 0))
+
+    in_specs = [
+        pl.BlockSpec((RB, None, gq, Dh), idx_q),
+        pl.BlockSpec((RB, None, chunk_p, Dh), idx_prefix),
+        pl.BlockSpec((RB, None, chunk_p, Dh), idx_prefix),
+        pl.BlockSpec((RB, 1, chunk_p), idx_bias_p),
+        pl.BlockSpec((RB, None, chunk_t, Dh), idx_ring),
+        pl.BlockSpec((RB, None, chunk_t, Dh), idx_ring),
+        pl.BlockSpec((RB, 1, chunk_t), idx_bias_t),
+    ]
+    operands = [q, pk, pv, bias_p, tk, tv, bias_t]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((RB, None, 1, chunk_p), idx_pscale),
+            pl.BlockSpec((RB, None, 1, chunk_p), idx_pscale),
+            pl.BlockSpec((RB, None, 1, chunk_t), idx_tscale),
+            pl.BlockSpec((RB, None, 1, chunk_t), idx_tscale),
+        ]
+        operands += [pk_scale, pv_scale, tk_scale, tv_scale]
+
+        kernel = functools.partial(
+            _ragged_kernel, NP=NP, chunk_p=chunk_p, chunk_t=chunk_t,
+            RB=RB, group_q=gq, sm_scale=sm_scale, quant=True,
+        )
+    else:
+        def kernel(q_ref, pk_ref, pv_ref, bias_p_ref, tk_ref, tv_ref,
+                   bias_t_ref, o_ref, m_sc, l_sc, acc_sc):
+            return _ragged_kernel(
+                q_ref, pk_ref, pv_ref, bias_p_ref, tk_ref, tv_ref,
+                bias_t_ref, None, None, None, None, o_ref, m_sc, l_sc,
+                acc_sc, NP=NP, chunk_p=chunk_p, chunk_t=chunk_t, RB=RB,
+                group_q=gq, sm_scale=sm_scale, quant=False)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(R // RB, Hkv, NP + NT),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((RB, None, gq, Dh), idx_q),
+        out_shape=jax.ShapeDtypeStruct((R, Hkv, gq, Dh), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((RB * gq, 128), jnp.float32),
+            pltpu.VMEM((RB * gq, 128), jnp.float32),
+            pltpu.VMEM((RB * gq, Dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+def ragged_decode_attention_reference(
+    q, pk, pv, bias_p, tk, tv, bias_t,
+    pk_scale=None, pv_scale=None, tk_scale=None, tv_scale=None,
+    *, group_q: int, sm_scale: float,
+):
+    """XLA reference for the ring variant (head-major), used for parity
+    tests and the non-TPU fallback."""
+    cdt = q.dtype
+    lp = jnp.einsum("rhgd,rhpd->rhgp", q, pk.astype(cdt),
+                    preferred_element_type=jnp.float32) * sm_scale
+    lt = jnp.einsum("rhgd,rhtd->rhgt", q, tk.astype(cdt),
+                    preferred_element_type=jnp.float32) * sm_scale
+    if pk_scale is not None:
+        lp = lp * pk_scale
+        lt = lt * tk_scale
+    lp = lp + bias_p[:, :, None, :]   # (R,1,P) -> (R,1,1,P)
+    lt = lt + bias_t[:, :, None, :]
+    P = pk.shape[2]
+    full = jnp.concatenate([lp, lt], axis=-1)
+    probs = jax.nn.softmax(full, axis=-1)
+    probs_p, probs_t = probs[..., :P], probs[..., P:]
+    if pv_scale is not None:
+        probs_p = probs_p * pv_scale
+        probs_t = probs_t * tv_scale
+    out = (
+        jnp.einsum("rhgp,rhpd->rhgd", probs_p.astype(cdt), pv.astype(cdt),
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("rhgt,rhtd->rhgd", probs_t.astype(cdt), tv.astype(cdt),
+                     preferred_element_type=jnp.float32)
+    )
     return out
 
 

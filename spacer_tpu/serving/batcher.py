@@ -66,12 +66,13 @@ class ServedOutput:
 @functools.partial(
     jax.jit,
     static_argnames=("text_cfg", "attn_impl", "temperature", "top_p",
-                     "eos_token_id"),
+                     "eos_token_id", "head_major"),
     donate_argnums=(0,),
 )
 def _admit_jit(state, params, input_ids, input_embeds, position_ids,
                prompt_mask, delta, max_new, slot, *, text_cfg,
-               attn_impl=None, temperature, top_p, eos_token_id):
+               attn_impl=None, temperature, top_p, eos_token_id,
+               head_major: bool = False):
     """Prefill Bq prompts and insert them into slots `slot` — one program.
 
     input_ids (Bq, Pmax); input_embeds (Bq, Pmax, D) left-padded (from the
@@ -95,7 +96,11 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
         position_ids=position_ids, kv_mask=prompt_mask.astype(bool),
         cache=cache, cache_index=0, attn_impl=attn_impl,
     )
-    pk_all, pv_all = cache["k"], cache["v"]  # (L, Bq, Pmax, ...)
+    pk_all, pv_all = cache["k"], cache["v"]  # (L, Bq, Pmax, Hkv, Dh)
+    if head_major:
+        # flash-decode slab layout: (…, Pmax, Hkv, Dh) -> (…, Hkv, Pmax, Dh)
+        pk_all = jnp.transpose(pk_all, (0, 1, 3, 2, 4))
+        pv_all = jnp.transpose(pv_all, (0, 1, 3, 2, 4))
 
     L = text_cfg.num_layers
     caches = list(state["caches"])
@@ -155,11 +160,12 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
 @functools.partial(
     jax.jit,
     static_argnames=("text_cfg", "chunk_steps", "temperature", "top_p",
-                     "eos_token_id"),
+                     "eos_token_id", "head_major", "use_kernel"),
     donate_argnums=(0,),
 )
 def _chunk_jit(state, layer_params, other_params, *, text_cfg, chunk_steps,
-               temperature, top_p, eos_token_id):
+               temperature, top_p, eos_token_id, head_major: bool = False,
+               use_kernel: bool = False):
     """Run up to chunk_steps ring decode steps (early exit on all-done)."""
     L = text_cfg.num_layers
     layers = split_layers(layer_params, L)
@@ -186,7 +192,8 @@ def _chunk_jit(state, layer_params, other_params, *, text_cfg, chunk_steps,
         ring_mask = rel < t[:, None]
         logits, caches = ragged_decode_step(
             layers, other_params, text_cfg, cur, pos3, caches,
-            ring_idx, pmask, ring_mask)
+            ring_idx, pmask, ring_mask, head_major=head_major,
+            use_kernel=use_kernel)
         rng, sub = jax.random.split(rng)
         nxt = sample_logits(logits, sub, temperature, top_p).astype(jnp.int32)
         tw = jnp.minimum(t, Cmax - 1)
@@ -227,6 +234,7 @@ class ContinuousBatcher:
                  temperature: float = 0.0, top_p: float = 1.0,
                  attn_impl: Optional[str] = None,
                  decode_quant: Optional[str] = None,
+                 decode_impl: Optional[str] = None,
                  chunk_steps: int = 32, seed: int = 0,
                  dtype=jnp.bfloat16):
         from spacer_tpu.models.registry import family_for_config
@@ -237,6 +245,22 @@ class ContinuousBatcher:
         self.R = slots
         self.Pmax = prompt_len
         self.Cmax = max_new_tokens
+        # decode attention impl, same contract as Sampler.decode_impl:
+        # "flash" = head-major caches + fused Pallas kernel, "flash_ref" =
+        # same layout via XLA (CPU-testable), "xla"/None-on-CPU = einsum
+        if decode_impl is None:
+            import os
+
+            decode_impl = os.environ.get("SPACER_DECODE_IMPL") or None
+        if decode_impl in ("flash", "flash_ref"):
+            resolved = decode_impl
+        elif decode_impl == "xla":
+            resolved = None
+        else:  # auto
+            resolved = ("flash" if jax.default_backend() == "tpu"
+                        and cfg.text.head_dim == 128 else None)
+        self.head_major = resolved in ("flash", "flash_ref")
+        self.use_kernel = resolved == "flash"
         self.eos = eos_token_id if eos_token_id is not None \
             else cfg.eos_token_id
         self.pad = pad_token_id if pad_token_id is not None \
@@ -262,8 +286,12 @@ class ContinuousBatcher:
         self.other_params = other
 
         tc = cfg.text
-        pshape = (self.R, self.Pmax, tc.num_kv_heads, tc.head_dim)
-        tshape = (self.R, self.Cmax, tc.num_kv_heads, tc.head_dim)
+        if self.head_major:
+            pshape = (self.R, tc.num_kv_heads, self.Pmax, tc.head_dim)
+            tshape = (self.R, tc.num_kv_heads, self.Cmax, tc.head_dim)
+        else:
+            pshape = (self.R, self.Pmax, tc.num_kv_heads, tc.head_dim)
+            tshape = (self.R, self.Cmax, tc.num_kv_heads, tc.head_dim)
         if decode_quant == "int8_kv":
             # int8 codes + (R, T, Hkv) f32 scales, read via the same
             # logit/prob scale-folding as the grouped decoder; fresh
@@ -363,7 +391,7 @@ class ContinuousBatcher:
             jnp.asarray(np.asarray(slots, np.int32)),
             text_cfg=self.cfg.text, attn_impl=self.attn_impl,
             temperature=self.temperature, top_p=self.top_p,
-            eos_token_id=self.eos)
+            eos_token_id=self.eos, head_major=self.head_major)
 
     # -- serving loop ----------------------------------------------------
 
@@ -405,7 +433,8 @@ class ContinuousBatcher:
 
             self.state = _chunk_jit(
                 self.state, self.layer_params, self.other_params,
-                chunk_steps=self.chunk_steps, **kw)
+                chunk_steps=self.chunk_steps, head_major=self.head_major,
+                use_kernel=self.use_kernel, **kw)
 
             # fetch the small per-slot flags every chunk; the (R, Cmax)
             # token buffer only moves host-side when something finished

@@ -40,6 +40,70 @@ from spacer_tpu.nn.core import dense, embed, rms_norm
 from spacer_tpu.nn.rope import apply_rope, mrope_cos_sin, rope_inv_freq
 
 
+def _ragged_layer_hm(h, layer_params, cache_entry, *, cfg: TextConfig,
+                     cos, sin, ring_idx, bias_p, bias_t, use_kernel):
+    """Head-major ring layer: attention through the fused ragged
+    flash-decode kernel (ops/flash_decode.py) or its XLA reference.
+
+    cache_entry layouts here: pk/pv (R, Hkv, Pmax, Dh), tk/tv
+    (R, Hkv, Cmax, Dh), int8 scales (R, Hkv, T).  bias_p/bias_t are the
+    per-step additive f32 masks ((R, 1, T), 0 valid / -1e30 dead),
+    computed once per step in ragged_decode_step.
+    """
+    R, _, D = h.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    pk, pv, tk, tv = cache_entry[:4]
+    quant = len(cache_entry) == 8
+    p_attn = layer_params["self_attn"]
+
+    x = rms_norm(layer_params["input_layernorm"], h, cfg.rms_norm_eps)
+    q = dense(p_attn["q_proj"], x).reshape(R, 1, H, Dh)
+    k = dense(p_attn["k_proj"], x).reshape(R, 1, Hkv, Dh)
+    v = dense(p_attn["v_proj"], x).reshape(R, 1, Hkv, Dh)
+    q, k = apply_rope(q, k, cos, sin)
+    k_hm = jnp.transpose(k, (0, 2, 1, 3))     # (R, Hkv, 1, Dh)
+    v_hm = jnp.transpose(v, (0, 2, 1, 3))
+
+    if quant:
+        from spacer_tpu.ops.quant import quantize_kv
+
+        pk_sc, pv_sc, tk_sc, tv_sc = cache_entry[4:]
+        kq, ks = quantize_kv(k_hm)            # scales (R, Hkv, 1)
+        vq, vs = quantize_kv(v_hm)
+        tk = jax.lax.dynamic_update_slice(tk, kq, (0, 0, ring_idx, 0))
+        tv = jax.lax.dynamic_update_slice(tv, vq, (0, 0, ring_idx, 0))
+        tk_sc = jax.lax.dynamic_update_slice(tk_sc, ks, (0, 0, ring_idx))
+        tv_sc = jax.lax.dynamic_update_slice(tv_sc, vs, (0, 0, ring_idx))
+        new_entry = (pk, pv, tk, tv, pk_sc, pv_sc, tk_sc, tv_sc)
+        scales = (pk_sc[:, :, None, :], pv_sc[:, :, None, :],
+                  tk_sc[:, :, None, :], tv_sc[:, :, None, :])
+    else:
+        tk = jax.lax.dynamic_update_slice(
+            tk, k_hm.astype(tk.dtype), (0, 0, ring_idx, 0))
+        tv = jax.lax.dynamic_update_slice(
+            tv, v_hm.astype(tv.dtype), (0, 0, ring_idx, 0))
+        new_entry = (pk, pv, tk, tv)
+        scales = (None, None, None, None)
+
+    from spacer_tpu.ops import flash_decode as fd
+
+    group_q = H // Hkv
+    attn_fn = (fd.flash_ragged_decode_attention if use_kernel
+               else fd.ragged_decode_attention_reference)
+    out = attn_fn(
+        q.reshape(R, Hkv, group_q, Dh), pk, pv, bias_p,
+        new_entry[2], new_entry[3], bias_t, *scales,
+        group_q=group_q, sm_scale=Dh ** -0.5,
+    )
+    out = out.reshape(R, 1, H * Dh).astype(h.dtype)
+    h = h + dense(p_attn["o_proj"], out)
+
+    x = rms_norm(layer_params["post_attention_layernorm"], h,
+                 cfg.rms_norm_eps)
+    h = h + _mlp_block(layer_params["mlp"], x, cfg)
+    return h, new_entry
+
+
 def _ragged_layer(h, layer_params, cache_entry, *, cfg: TextConfig,
                   cos, sin, ring_idx, prefix_mask, ring_mask):
     """One decoder layer over prefix + clock-ring caches.
@@ -137,19 +201,38 @@ def ragged_decode_step(
     ring_idx,        # scalar int32: clock % Cmax
     prefix_mask,     # (R, Pmax) bool
     ring_mask,       # (R, Cmax) bool valid ring positions incl. current
+    head_major: bool = False,
+    use_kernel: bool = False,
 ):
-    """One clock-ring decode step -> (logits (R, V), new caches)."""
+    """One clock-ring decode step -> (logits (R, V), new caches).
+
+    head_major=True reads/writes the flash-decode cache layout
+    ((R, Hkv, T, Dh), see _ragged_layer_hm) and dispatches attention to
+    the fused Pallas kernel (use_kernel) or its XLA reference."""
     h = embed(params["embed_tokens"], cur[:, None])
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
     cos, sin = mrope_cos_sin(pos3, inv_freq, cfg.mrope_section)
 
+    if head_major:
+        bias_p = jnp.where(prefix_mask, 0.0, -1e30)[
+            :, None, :].astype(jnp.float32)
+        bias_t = jnp.where(ring_mask, 0.0, -1e30)[
+            :, None, :].astype(jnp.float32)
+
     new = []
     for l in range(cfg.num_layers):
-        h, entry = _ragged_layer(
-            h, layers[l], caches[l], cfg=cfg, cos=cos, sin=sin,
-            ring_idx=ring_idx, prefix_mask=prefix_mask,
-            ring_mask=ring_mask,
-        )
+        if head_major:
+            h, entry = _ragged_layer_hm(
+                h, layers[l], caches[l], cfg=cfg, cos=cos, sin=sin,
+                ring_idx=ring_idx, bias_p=bias_p, bias_t=bias_t,
+                use_kernel=use_kernel,
+            )
+        else:
+            h, entry = _ragged_layer(
+                h, layers[l], caches[l], cfg=cfg, cos=cos, sin=sin,
+                ring_idx=ring_idx, prefix_mask=prefix_mask,
+                ring_mask=ring_mask,
+            )
         new.append(entry)
 
     h = rms_norm(params["norm"], h, cfg.rms_norm_eps)

@@ -105,23 +105,28 @@ def test_7b_dress_rehearsal():
                "data_type": "video", "data_source": "SR_dataset",
                "problem_id": 0}
         row.update(make_conversation(row, map_data))
+        # beta=0 (no-KL GRPO, a supported production config): the reference
+        # copy is never materialized and no buffer is aliased, so the update
+        # program's donation stays intact.  Both matter on this single
+        # 125 GB host where all 8 virtual devices share RAM: beta=0.04 with
+        # a ref copy peaks at ~132 GB (oom-killed at 130.6 GB), and
+        # aliasing ref_params=params silently DISABLES donation (the same
+        # buffer can't be both donated and a live input), which was
+        # oom-killed at the same 130.5 GB.  On real multi-chip hardware the
+        # KL config poses no such problem — params/moments are sharded
+        # per-chip (test_7b_readiness proves the 15.75 GB/chip fit WITH the
+        # ref copy); this is purely a one-host-rehearsal artifact.
         args = SGRLVRConfig(
             num_generations=2, rollout_batch_size=1,
             max_prompt_length=256, max_completion_length=4,
             learning_rate=1e-6, temporal=False, len_control=True,
             max_steps=1, logging_steps=1, save_steps=100,
             output_dir=os.path.join(work, "out"), prompt_bucket=128,
-            remat=True, logp_chunk=64,
+            remat=True, logp_chunk=64, beta=0.0,
         )
-        # ref_params aliased to the policy params: numerically identical to
-        # the production copy at step 0 (the reference model IS the initial
-        # policy), and it keeps peak RSS under this host's 125 GB — the
-        # update program's un-donated CPU output buffers (new params + new
-        # Adam moments, ~50 GB at 7B) already push a separate 16.6 GB ref
-        # copy over the edge (observed: oom-kill at 130.6 GB RSS).
         trainer = SGRLVRTrainer(
             cfg, params, proc, [accuracy_reward, format_reward], [row],
-            args, map_data=map_data, mesh=mesh, ref_params=params,
+            args, map_data=map_data, mesh=mesh,
         )
         rng = np.random.default_rng(0)
         metrics = trainer.training_step([row], rng)

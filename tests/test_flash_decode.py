@@ -125,3 +125,71 @@ def test_decode_loop_head_major_matches_einsum(decode_quant):
         )
     np.testing.assert_array_equal(outs["xla"].sequences,
                                   outs["flash_ref"].sequences)
+
+
+def test_ragged_kernel_matches_reference_interpret():
+    """Serving ring variant (ops/flash_decode.py _ragged_kernel): interpret
+    parity for bf16 + int8 under random per-row prefix/ring masks."""
+    from spacer_tpu.ops.flash_decode import (
+        flash_ragged_decode_attention,
+        ragged_decode_attention_reference,
+    )
+
+    R, Hkv, gq, Dh = 8, 2, 4, 128
+    P, T = 256, 128
+    rng = np.random.default_rng(0)
+    mk = lambda s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    q = mk((R, Hkv, gq, Dh))
+    pk, pv = mk((R, Hkv, P, Dh)), mk((R, Hkv, P, Dh))
+    tk, tv = mk((R, Hkv, T, Dh)), mk((R, Hkv, T, Dh))
+    pm = rng.integers(0, 2, (R, P)).astype(bool)
+    pm[:, :8] = True
+    rm = rng.integers(0, 2, (R, T)).astype(bool)
+    rm[:, 0] = True
+    bp = jnp.asarray(np.where(pm, 0, -1e30)[:, None, :], jnp.float32)
+    bt = jnp.asarray(np.where(rm, 0, -1e30)[:, None, :], jnp.float32)
+    kw = dict(group_q=gq, sm_scale=Dh**-0.5)
+    ref = ragged_decode_attention_reference(q, pk, pv, bp, tk, tv, bt, **kw)
+    out = flash_ragged_decode_attention(q, pk, pv, bp, tk, tv, bt,
+                                        interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    pkq, pks = quantize_kv(pk)
+    pvq, pvs = quantize_kv(pv)
+    tkq, tks = quantize_kv(tk)
+    tvq, tvs = quantize_kv(tv)
+    r4 = lambda s: s[:, :, None, :]
+    ref2 = ragged_decode_attention_reference(
+        q, pkq, pvq, bp, tkq, tvq, bt,
+        r4(pks), r4(pvs), r4(tks), r4(tvs), **kw)
+    out2 = flash_ragged_decode_attention(
+        q, pkq, pvq, bp, tkq, tvq, bt,
+        r4(pks), r4(pvs), r4(tks), r4(tvs), interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("decode_quant", [None, "int8_kv"])
+def test_batcher_head_major_matches_einsum(decode_quant):
+    """Continuous batcher with the flash (head-major) cache layout must
+    reproduce the einsum path's outputs exactly — through admission waves,
+    slot refill and the ring writes (flash_ref = identical XLA math)."""
+    from spacer_tpu.models.qwen25_vl import tiny_config, init_params
+    from spacer_tpu.serving import ContinuousBatcher
+    from tests.test_serving import _prompts
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    reqs = _prompts(cfg, [4, 7, 10, 5, 9, 6])
+    outs = {}
+    for impl in ("xla", "flash_ref"):
+        b = ContinuousBatcher(
+            cfg, params, slots=2, prompt_len=16, max_new_tokens=12,
+            eos_token_id=-1, temperature=0.0, chunk_steps=3,
+            dtype=jnp.float32, decode_quant=decode_quant,
+            decode_impl=impl)
+        outs[impl] = b.run(reqs)
+    for a, b_ in zip(outs["xla"], outs["flash_ref"]):
+        assert a.length == b_.length
+        np.testing.assert_array_equal(a.sequences[:a.length],
+                                      b_.sequences[:a.length])
