@@ -9,8 +9,10 @@ at B=8,G=8,P=2048 that is ~25MB of extra HBM traffic per layer per step,
 BUCKET even when the live completion length is shorter.
 
 This kernel fuses logits -> online-softmax -> value matmul into one VMEM-
-resident program per (prompt, kv-head) and walks prefix chunks then tail
-chunks as the innermost grid axis.  Properties:
+resident program per kv-head (the WHOLE batch rides in-cell: a finer
+(prompt, kv-head, chunk) grid measured 355us/call vs XLA's 277us at
+bench shapes purely from ~1.4us/cell fixed grid overhead) and walks
+prefix chunks then tail chunks as the innermost grid axis.  Properties:
 
 - int8 KV (ops/quant.py quantize_kv codes + per-(position,head) scales)
   dequantizes in VMEM: K scales multiply the f32 logits, V scales fold
@@ -21,10 +23,9 @@ chunks as the innermost grid axis.  Properties:
   to the last live chunk, so Pallas re-uses the resident block instead of
   DMA-ing dead bucket space, and `pl.when` skips their compute.  Tail
   reads scale with the LIVE length, not the bucket size.
-- the tail matmul runs as ONE (GQ, G*chunk) MXU op with a block-diagonal
-  (query-row group == tail-row) mask instead of G tiny batched dots
-  (ops/vit_window_attention.py found the single big masked matmul several
-  times faster than many small ones).
+- the tail matmul runs as ONE batched dot over the B*G completion rows —
+  true logits only; a flattened block-diagonal matmul would exp/mask Gx
+  more VPU elements than exist, and exp is the decode VPU bottleneck.
 
 Layout contract: HEAD-MAJOR caches — prefix (B, Hkv, P, Dh), tail
 (N, Hkv, T, Dh) — so each (b, h) program's chunks are contiguous HBM
@@ -57,6 +58,19 @@ def _chunk_for(size: int, candidates=(512, 256, 128)) -> int | None:
     return size if size > 0 else None
 
 
+def _chunk_budget(size: int, rows: int, itemsize: int,
+                  budget: int = 2 * 1024 * 1024,
+                  candidates=(512, 256, 128)) -> int | None:
+    """Largest dividing chunk whose (rows, chunk, 128) K-or-V block stays
+    under `budget` bytes — Mosaic double-buffers both K and V, so the
+    VMEM bill is ~4x one block; 2MB/block keeps the whole program (q, out,
+    scratch, f32 logits included) comfortably inside the ~16MB VMEM."""
+    for c in candidates:
+        if size % c == 0 and size >= c and rows * c * 128 * itemsize <= budget:
+            return c
+    return size if size > 0 else None
+
+
 def flash_decode_supported(P: int, T: int, Dh: int, GQ: int) -> bool:
     """Mosaic-legality gate (CPU interpret mode does not enforce tiling,
     so callers must consult this before taking the kernel path)."""
@@ -68,12 +82,20 @@ def flash_decode_supported(P: int, T: int, Dh: int, GQ: int) -> bool:
 def _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref, tv_ref,
             pks_ref, pvs_ref, tks_ref, tvs_ref,
             o_ref, m_sc, l_sc, acc_sc, *,
-            NP: int, chunk_p: int, chunk_t: int, G: int, group_q: int,
-            sm_scale: float, quant: bool):
+            NP: int, chunk_p: int, chunk_t: int, B: int, G: int,
+            group_q: int, sm_scale: float, quant: bool):
     """One grid step: fold one prefix chunk (c < NP) or one tail chunk
-    into the (m, l, acc) online-softmax state for this (b, h) program."""
-    c = pl.program_id(2)
-    nc = pl.num_programs(2)
+    into the (m, l, acc) online-softmax state for this kv-head.
+
+    The WHOLE batch rides in one program (grid is (Hkv, chunks) only):
+    measured on-chip, the per-grid-cell fixed cost (~1.4us: Mosaic loop +
+    semaphores + index-map evaluation) dominated a (B, Hkv, chunks) grid
+    at decode shapes — 256 cells made the kernel 355us/call vs XLA's
+    277us.  Batching B in-cell cuts the cell count ~5x at the same DMA
+    volume; all matmuls are batched dots over the B (prefix) or B*G
+    (tail) leading dim."""
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
     step = step_ref[0]
     nt_live = jnp.maximum((step + chunk_t - 1) // chunk_t, 1)
 
@@ -83,18 +105,20 @@ def _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref, tv_ref,
         l_sc[...] = jnp.zeros_like(l_sc)
         acc_sc[...] = jnp.zeros_like(acc_sc)
 
-    q = q_ref[...]                       # (GQ, Dh)
-    GQ = q.shape[0]
+    q = q_ref[...]                       # (B, GQ, Dh)
+    GQ = q.shape[1]
+    Dh = q.shape[2]
+    R = B * GQ                           # online-state rows
     cdt = q.dtype
 
     def fold(s, p_to_out):
-        # s: (GQ, C) f32 masked logits; p_to_out(p bf16 (GQ, C)) -> (GQ, Dh)
-        m_old = m_sc[...]                # (GQ, 128) broadcast columns
+        # s: (R, C) f32 masked logits; p_to_out(p f32 (R, C)) -> (R, Dh)
+        m_old = m_sc[...]                # (R, 128) broadcast columns
         l_old = l_sc[...]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)       # (GQ, 1)
-        m_new = jnp.maximum(m_old, m_cur)                # (GQ, 128)
-        alpha = jnp.exp(m_old[:, :1] - m_new[:, :1])     # (GQ, 1)
-        p = jnp.exp(s - m_new[:, :1])                    # (GQ, C) f32
+        m_cur = jnp.max(s, axis=-1, keepdims=True)       # (R, 1)
+        m_new = jnp.maximum(m_old, m_cur)                # (R, 128)
+        alpha = jnp.exp(m_old[:, :1] - m_new[:, :1])     # (R, 1)
+        p = jnp.exp(s - m_new[:, :1])                    # (R, C) f32
         l_new = alpha * l_old[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
         acc_sc[...] = acc_sc[...] * alpha + p_to_out(p)
         m_sc[...] = jnp.broadcast_to(m_new[:, :1], m_sc.shape)
@@ -102,54 +126,57 @@ def _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref, tv_ref,
 
     @pl.when(c < NP)
     def _prefix():
-        k = pk_ref[...]                  # (chunk_p, Dh)
+        k = pk_ref[...]                  # (B, chunk_p, Dh)
         s = jax.lax.dot_general(
-            q, k.astype(cdt), (((1,), (1,)), ((), ())),
+            q, k.astype(cdt), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * sm_scale                     # (GQ, chunk_p)
+        ) * sm_scale                     # (B, GQ, chunk_p)
         if quant:
-            s = s * pks_ref[...]         # (1, chunk_p) K scales on logits
-        s = s + bias_ref[...]            # (1, chunk_p) 0 / -1e30 pad mask
+            s = s * pks_ref[...]         # (B, 1, chunk_p) K scales
+        s = (s + bias_ref[...]).reshape(R, chunk_p)   # (B, 1, chunk_p) mask
 
         def p_to_out(p):
+            pb = p.reshape(B, GQ, chunk_p)
             if quant:
-                p = p * pvs_ref[...]     # fold V scales into the probs
+                pb = pb * pvs_ref[...]   # fold V scales into the probs
             return jax.lax.dot_general(
-                p.astype(cdt), pv_ref[...].astype(cdt),
-                (((1,), (0,)), ((), ())),
+                pb.astype(cdt), pv_ref[...].astype(cdt),
+                (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
+            ).reshape(R, Dh)
 
         fold(s, p_to_out)
 
     @pl.when((c >= NP) & (c - NP < nt_live))
     def _tail():
-        # batched (over the G completion rows) q.k — true logits only: a
-        # flattened (GQ, G*chunk) block-diagonal matmul would exp/mask Gx
-        # more VPU elements than exist, and exp is the decode VPU bottleneck
-        kt = tk_ref[...]                 # (G, chunk_t, Dh)
-        qg = q.reshape(G, group_q, q.shape[-1])
+        # per-completion-row batched q.k — true logits only (a flattened
+        # block-diagonal matmul would exp/mask Gx more VPU elements than
+        # exist).  Row order matches the prefix phase: q (B, G*group_q, Dh)
+        # reshapes to (B*G, group_q, Dh) with b-major, g, then c — exactly
+        # tail row b*G+g.
+        kt = tk_ref[...]                 # (B*G, chunk_t, Dh)
+        N = B * G
+        qg = q.reshape(N, group_q, Dh)
         s = jax.lax.dot_general(
             qg, kt.astype(cdt), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(GQ, chunk_t) * sm_scale    # rows g*group_q+c, cols = pos
+        ) * sm_scale                     # (N, group_q, chunk_t)
         if quant:
-            s = (s.reshape(G, group_q, chunk_t)
-                 * tks_ref[...].reshape(G, 1, chunk_t)).reshape(GQ, chunk_t)
+            s = s * tks_ref[...]         # (N, 1, chunk_t)
         tc = c - NP
         pos = tc * chunk_t + jax.lax.broadcasted_iota(
-            jnp.int32, (GQ, chunk_t), 1)
-        s = jnp.where(pos < step, s, MASK_VALUE)
+            jnp.int32, (N, group_q, chunk_t), 2)
+        s = jnp.where(pos < step, s, MASK_VALUE).reshape(R, chunk_t)
 
         def p_to_out(p):
-            pg = p.reshape(G, group_q, chunk_t)
+            pg = p.reshape(N, group_q, chunk_t)
             if quant:
-                pg = pg * tvs_ref[...].reshape(G, 1, chunk_t)
+                pg = pg * tvs_ref[...]
             return jax.lax.dot_general(
                 pg.astype(cdt), tv_ref[...].astype(cdt),
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ).reshape(GQ, q.shape[-1])
+            ).reshape(R, Dh)
 
         fold(s, p_to_out)
 
@@ -158,7 +185,8 @@ def _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref, tv_ref,
         # rows with no valid position (empty/done serving slots) produce 0
         # instead of 0/0 NaN; their outputs are discarded by the caller
         denom = jnp.maximum(l_sc[:, :1], 1e-30)
-        o_ref[...] = (acc_sc[...] / denom).astype(o_ref.dtype)
+        o_ref[...] = (acc_sc[...] / denom).reshape(o_ref.shape).astype(
+            o_ref.dtype)
 
 
 @functools.partial(
@@ -184,55 +212,57 @@ def flash_decode_attention(
     P = pk.shape[2]
     T = tk.shape[2]
     G = group
+    N = B * G
     quant = pk_scale is not None
-    chunk_p = _chunk_for(P)
-    chunk_t = _chunk_for(T, (256, 128))
+    itemsize = 1 if quant else 2
+    chunk_p = _chunk_budget(P, B, itemsize)
+    chunk_t = _chunk_budget(T, N, itemsize, candidates=(256, 128))
     NP = P // chunk_p
     NT = T // chunk_t
 
-    def idx_q(b, h, c, step_ref):
-        return (b, h, 0, 0)
+    def idx_q(h, c, step_ref):
+        return (0, h, 0, 0)
 
-    def idx_prefix(b, h, c, step_ref):
-        return (b, h, jnp.minimum(c, NP - 1), 0)
+    def idx_prefix(h, c, step_ref):
+        return (0, h, jnp.minimum(c, NP - 1), 0)
 
-    def idx_bias(b, h, c, step_ref):
-        return (b, 0, jnp.minimum(c, NP - 1))
+    def idx_bias(h, c, step_ref):
+        return (0, 0, jnp.minimum(c, NP - 1))
 
-    def idx_tail(b, h, c, step_ref):
+    def idx_tail(h, c, step_ref):
         nt_live = jnp.maximum((step_ref[0] + chunk_t - 1) // chunk_t, 1)
         tc = jnp.clip(c - NP, 0, nt_live - 1)
-        return (b, h, tc, 0)
+        return (0, h, tc, 0)
 
-    def idx_pscale(b, h, c, step_ref):
-        return (b, h, 0, jnp.minimum(c, NP - 1))
+    def idx_pscale(h, c, step_ref):
+        return (0, h, 0, jnp.minimum(c, NP - 1))
 
-    def idx_tscale(b, h, c, step_ref):
+    def idx_tscale(h, c, step_ref):
         nt_live = jnp.maximum((step_ref[0] + chunk_t - 1) // chunk_t, 1)
         tc = jnp.clip(c - NP, 0, nt_live - 1)
-        return (b, h, 0, tc)
+        return (0, h, 0, tc)
 
     in_specs = [
-        pl.BlockSpec((None, None, GQ, Dh), idx_q),
-        pl.BlockSpec((None, None, chunk_p, Dh), idx_prefix),
-        pl.BlockSpec((None, None, chunk_p, Dh), idx_prefix),
-        pl.BlockSpec((None, 1, chunk_p), idx_bias),
-        pl.BlockSpec((G, None, chunk_t, Dh), idx_tail),
-        pl.BlockSpec((G, None, chunk_t, Dh), idx_tail),
+        pl.BlockSpec((B, None, GQ, Dh), idx_q),
+        pl.BlockSpec((B, None, chunk_p, Dh), idx_prefix),
+        pl.BlockSpec((B, None, chunk_p, Dh), idx_prefix),
+        pl.BlockSpec((B, 1, chunk_p), idx_bias),
+        pl.BlockSpec((N, None, chunk_t, Dh), idx_tail),
+        pl.BlockSpec((N, None, chunk_t, Dh), idx_tail),
     ]
     operands = [q, pk, pv, bias_p, tk, tv]
     if quant:
         in_specs += [
-            pl.BlockSpec((None, None, 1, chunk_p), idx_pscale),
-            pl.BlockSpec((None, None, 1, chunk_p), idx_pscale),
-            pl.BlockSpec((G, None, 1, chunk_t), idx_tscale),
-            pl.BlockSpec((G, None, 1, chunk_t), idx_tscale),
+            pl.BlockSpec((B, None, 1, chunk_p), idx_pscale),
+            pl.BlockSpec((B, None, 1, chunk_p), idx_pscale),
+            pl.BlockSpec((N, None, 1, chunk_t), idx_tscale),
+            pl.BlockSpec((N, None, 1, chunk_t), idx_tscale),
         ]
         operands += [pk_scale, pv_scale, tk_scale, tv_scale]
 
     if quant:
         kernel = functools.partial(
-            _kernel, NP=NP, chunk_p=chunk_p, chunk_t=chunk_t, G=G,
+            _kernel, NP=NP, chunk_p=chunk_p, chunk_t=chunk_t, B=B, G=G,
             group_q=group_q, sm_scale=sm_scale, quant=True,
         )
     else:
@@ -241,18 +271,18 @@ def flash_decode_attention(
             return _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref,
                            tk_ref, tv_ref, None, None, None, None,
                            o_ref, m_sc, l_sc, acc_sc, NP=NP,
-                           chunk_p=chunk_p, chunk_t=chunk_t, G=G,
+                           chunk_p=chunk_p, chunk_t=chunk_t, B=B, G=G,
                            group_q=group_q, sm_scale=sm_scale, quant=False)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv, NP + NT),
+        grid=(Hkv, NP + NT),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, None, GQ, Dh), idx_q),
+        out_specs=pl.BlockSpec((B, None, GQ, Dh), idx_q),
         scratch_shapes=[
-            pltpu.VMEM((GQ, 128), jnp.float32),
-            pltpu.VMEM((GQ, 128), jnp.float32),
-            pltpu.VMEM((GQ, Dh), jnp.float32),
+            pltpu.VMEM((B * GQ, 128), jnp.float32),
+            pltpu.VMEM((B * GQ, 128), jnp.float32),
+            pltpu.VMEM((B * GQ, Dh), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -260,7 +290,7 @@ def flash_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, GQ, Dh), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.asarray(step, jnp.int32).reshape(1), *operands)

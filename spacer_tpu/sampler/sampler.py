@@ -375,12 +375,12 @@ class Sampler:
             return None
         if self.decode_impl in ("flash", "flash_ref"):
             return self.decode_impl
-        # auto: the kernel needs the 128-lane head dim; everything else
-        # (prefix/tail buckets) is legal by construction (128-multiples or
-        # full-array blocks)
-        if (jax.default_backend() == "tpu"
-                and self.cfg.text.head_dim == 128):
-            return "flash"
+        # auto: XLA.  The fused kernel is opt-in until it beats the XLA
+        # einsum path on-chip: the first (B, Hkv, chunk) grid measured
+        # 355us vs XLA's 277us per decode-layer call at bench shapes
+        # (B=8, G=8, P=2048, T=1024 int8), entirely per-grid-cell fixed
+        # overhead; the restructured whole-batch-per-cell grid is unproven
+        # on hardware.  Flip here once measurement says otherwise.
         return None
 
     def _bucket(self, n: int) -> int:

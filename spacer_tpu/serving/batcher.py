@@ -254,11 +254,12 @@ class ContinuousBatcher:
             decode_impl = os.environ.get("SPACER_DECODE_IMPL") or None
         if decode_impl in ("flash", "flash_ref"):
             resolved = decode_impl
-        elif decode_impl == "xla":
+        else:
+            # auto = XLA: the fused ring kernel is opt-in until an on-chip
+            # measurement shows it beating the einsum path (see
+            # Sampler._resolve_decode_impl for the grouped-kernel numbers
+            # that motivated this default)
             resolved = None
-        else:  # auto
-            resolved = ("flash" if jax.default_backend() == "tpu"
-                        and cfg.text.head_dim == 128 else None)
         self.head_major = resolved in ("flash", "flash_ref")
         self.use_kernel = resolved == "flash"
         self.eos = eos_token_id if eos_token_id is not None \
