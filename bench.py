@@ -88,12 +88,16 @@ def _count_params(tree, skip_embed=True):
 # Encode benchmark (secondary metric).
 # ---------------------------------------------------------------------------
 
-def bench_encode():
+def bench_encode(*, cfg=None, T=16, iters=20, host_frames=180):
     """Video preprocess + full-scale (670M) ViT encode, frames/sec/chip.
 
     Shapes follow the SpaceR training schedule: 16 frames at the 105369
     px/frame budget (vision_process.py:288-295) -> grid (8,16,30) = 3840
     patch tokens per clip.
+
+    The keyword knobs exist ONLY for the CPU smoke test
+    (tests/test_bench_smoke.py) that protects the driver's bench run from
+    code breakage; the measured configuration is the default call.
     """
     import jax
     import jax.numpy as jnp
@@ -105,8 +109,9 @@ def bench_encode():
     from spacer_tpu.vision.process import _resize_normalize_patchify
     from spacer_tpu.vision.smart import smart_resize
 
-    cfg = QWEN25_VL_7B.vision
-    T, H, W = 16, 360, 640
+    if cfg is None:
+        cfg = QWEN25_VL_7B.vision
+    H, W = 360, 640
     out_h, out_w = smart_resize(H, W, 28, 100352, 105369)
     grid = ((T // 2, out_h // 14, out_w // 14),)
     layout = vision_layout(grid, cfg)
@@ -140,7 +145,6 @@ def bench_encode():
         checksum = pipeline(params, dev_frames)
     float(checksum)
 
-    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         checksum = pipeline(params, dev_frames)
@@ -172,7 +176,7 @@ def bench_encode():
         (2 * n_vit * n_patches) / (V5E_BF16_TFLOPS * REF_TRAIN_MFU))
     gpu_fps = T / (
         (2 * n_vit * n_patches) / (H100_BF16_TFLOPS * REF_TRAIN_MFU))
-    host_decode_fps, host_ref_fps = _measure_host_stage()
+    host_decode_fps, host_ref_fps = _measure_host_stage(frames=host_frames)
     return {
         "metric": "video_preprocess_encode_frames_per_sec_per_chip",
         "value": round(fps, 2),
@@ -357,10 +361,14 @@ def bench_grpo():
     }
 
 
-def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3):
+def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
+                    cfg=None, vid=(16, 224, 420)):
     """Headline: FULL RL iteration throughput, samples/sec/chip — batched
     rollout (B prompt-groups x G completions sharing each prompt's KV prefix,
     C new tokens) + the GRPO update, on the 1.3B-scale model.
+
+    cfg/vid exist ONLY for the CPU smoke test (tests/test_bench_smoke.py);
+    the measured configuration is the default call.
 
     B=8 prompt-groups per optimizer step is the REFERENCE's global batch (8
     torchrun processes x per_device_train_batch_size 1,
@@ -388,21 +396,22 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3):
     from spacer_tpu.train import make_optimizer
     from spacer_tpu.train.step import make_grpo_train_step
 
-    cfg = Qwen25VLConfig(
-        text=TextConfig(
-            vocab_size=49152, hidden_size=2048, intermediate_size=8192,
-            num_layers=12, num_heads=16, num_kv_heads=4,
-            mrope_section=(16, 24, 24),
-        ),
-        vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
-                            out_hidden_size=2048),
-        # special-token ids must be IN vocab: the real Qwen ids (151652+)
-        # exceed this bench model's 49152 vocab, and on TPU an
-        # out-of-bounds embedding gather fills NaN (CPU clamps), which
-        # would poison the whole forward
-        image_token_id=49149, video_token_id=49150,
-        vision_start_token_id=49148, vision_end_token_id=49151,
-    )
+    if cfg is None:
+        cfg = Qwen25VLConfig(
+            text=TextConfig(
+                vocab_size=49152, hidden_size=2048, intermediate_size=8192,
+                num_layers=12, num_heads=16, num_kv_heads=4,
+                mrope_section=(16, 24, 24),
+            ),
+            vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
+                                out_hidden_size=2048),
+            # special-token ids must be IN vocab: the real Qwen ids
+            # (151652+) exceed this bench model's 49152 vocab, and on TPU
+            # an out-of-bounds embedding gather fills NaN (CPU clamps),
+            # which would poison the whole forward
+            image_token_id=49149, video_token_id=49150,
+            vision_start_token_id=49148, vision_end_token_id=49151,
+        )
     # random-init logits are pathologically flat, but the bisection nucleus
     # sampler has FIXED cost regardless of the distribution shape, so no
     # head scaling is needed for a representative measurement
@@ -415,7 +424,7 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3):
     opt_state = tx.init(params)
     print("# iter init done", flush=True)
 
-    T, H, W = 16, 224, 420
+    T, H, W = vid
     grid1 = (T // 2, H // 14, W // 14)
     n_patches = grid1[0] * grid1[1] * grid1[2]
     n_video = n_patches // 4
@@ -698,8 +707,12 @@ def bench_rollout_waste(P_len=2048, C=512, G=8):
     }
 
 
-def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024):
+def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024, *,
+                  cfg=None):
     """Continuous vs static serving goodput (tokens/sec) at 1.3B scale.
+
+    cfg exists ONLY for the CPU smoke test (tests/test_bench_smoke.py);
+    the measured configuration is the default call.
 
     Requests carry variable completion budgets (the eval reality: answers
     range from a letter to a 1k-token chain of thought).  Static batching
@@ -718,21 +731,22 @@ def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024):
     from spacer_tpu.sampler import Sampler
     from spacer_tpu.serving import ContinuousBatcher
 
-    cfg = Qwen25VLConfig(
-        text=TextConfig(
-            vocab_size=49152, hidden_size=2048, intermediate_size=8192,
-            num_layers=12, num_heads=16, num_kv_heads=4,
-            mrope_section=(16, 24, 24),
-        ),
-        vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
-                            out_hidden_size=2048),
-        # special-token ids must be IN vocab: the real Qwen ids (151652+)
-        # exceed this bench model's 49152 vocab, and on TPU an
-        # out-of-bounds embedding gather fills NaN (CPU clamps), which
-        # would poison the whole forward
-        image_token_id=49149, video_token_id=49150,
-        vision_start_token_id=49148, vision_end_token_id=49151,
-    )
+    if cfg is None:
+        cfg = Qwen25VLConfig(
+            text=TextConfig(
+                vocab_size=49152, hidden_size=2048, intermediate_size=8192,
+                num_layers=12, num_heads=16, num_kv_heads=4,
+                mrope_section=(16, 24, 24),
+            ),
+            vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
+                                out_hidden_size=2048),
+            # special-token ids must be IN vocab: the real Qwen ids
+            # (151652+) exceed this bench model's 49152 vocab, and on TPU
+            # an out-of-bounds embedding gather fills NaN (CPU clamps),
+            # which would poison the whole forward
+            image_token_id=49149, video_token_id=49150,
+            vision_start_token_id=49148, vision_end_token_id=49151,
+        )
     params = jax.jit(
         lambda k: init_params(k, cfg, jnp.bfloat16)
     )(jax.random.key(0))
@@ -740,11 +754,13 @@ def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024):
     print("# serving init done", flush=True)
 
     rng = np.random.default_rng(0)
-    budgets = np.exp(rng.uniform(np.log(64), np.log(Cmax), n_requests))
-    budgets = np.clip(budgets.astype(int), 64, Cmax)
+    lo = min(64, Cmax)
+    budgets = np.exp(rng.uniform(np.log(lo), np.log(Cmax), n_requests))
+    budgets = np.clip(budgets.astype(int), lo, Cmax)
+    id_hi = min(49000, cfg.text.vocab_size - 8)
     reqs = []
     for i in range(n_requests):
-        ids = rng.integers(10, 49000, size=(1, P_len)).astype(np.int32)
+        ids = rng.integers(10, id_hi, size=(1, P_len)).astype(np.int32)
         reqs.append({
             "input_ids": ids,
             "attention_mask": np.ones((1, P_len), np.int32),
@@ -804,7 +820,7 @@ def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024):
         "vs_baseline": round(dt_stat / dt_cont, 3),  # speedup over static
         "static_tokens_per_sec": round(total_tokens / dt_stat, 1),
         "slots": slots, "requests": n_requests,
-        "prompt_len": P_len, "budget_range": [64, Cmax],
+        "prompt_len": P_len, "budget_range": [lo, Cmax],
     }
 
 

@@ -1,0 +1,60 @@
+"""CPU smoke tests for the driver bench entry (bench.py).
+
+The driver runs `python bench.py` on the real chip at the END of the round
+to record the headline metric — a code break in bench.py (an import, a
+renamed sampler kwarg, a shape contract) would silently cost the round its
+measured number.  These tests run the same bench functions at tiny-config
+scale on the CPU mesh so any such break fails the suite first.
+
+The timings these produce are meaningless; only execution + JSON shape are
+asserted.  The measured configurations are the functions' DEFAULT calls.
+"""
+
+import json
+
+import pytest
+
+import bench
+from spacer_tpu.models.qwen25_vl import tiny_config
+
+pytestmark = pytest.mark.slow
+
+
+def _check(result):
+    # every bench result must be one JSON-serializable dict with the
+    # driver's contract fields
+    s = json.dumps(result)
+    back = json.loads(s)
+    assert back["metric"]
+    assert back["unit"]
+    assert float(back["value"]) > 0
+    assert "vs_baseline" in back
+
+
+def test_bench_iteration_smoke(monkeypatch):
+    monkeypatch.setenv("SPACER_BENCH_UPDATE_GROUPS", "1")
+    result = bench.bench_iteration(
+        B=2, G=2, P_len=64, C=16, iters=1,
+        cfg=tiny_config(), vid=(4, 112, 140),
+    )
+    _check(result)
+    assert result["rollout_quant"] == "int8_kv"
+    assert result["update_programs_per_step"] == 1
+
+
+def test_bench_encode_smoke():
+    result = bench.bench_encode(
+        cfg=tiny_config().vision, T=2, iters=2, host_frames=12,
+    )
+    _check(result)
+    # the measured host stages must be real numbers, not zeros
+    assert result["host_decode_only_fps_per_core_measured"] > 0
+    assert result["host_ref_pipeline_fps_per_core_measured"] > 0
+
+
+def test_bench_serving_smoke():
+    result = bench.bench_serving(
+        slots=2, n_requests=4, P_len=32, Cmax=32, cfg=tiny_config(),
+    )
+    _check(result)
+    assert result["requests"] == 4
