@@ -16,9 +16,14 @@ from spacer_tpu.parallel.partition import (
     place_batch,
     shard_params,
 )
+from spacer_tpu.parallel.pipeline import (
+    pipeline_lm_forward,
+    shard_layers_for_pipeline,
+)
 
 __all__ = [
     "create_mesh", "mesh_shape_for", "QWEN_PARTITION_RULES",
     "ARIA_PARTITION_RULES",
     "partition_spec_tree", "shard_params", "batch_spec", "place_batch",
+    "pipeline_lm_forward", "shard_layers_for_pipeline",
 ]
