@@ -25,6 +25,9 @@ class ModelArgs:
     # decode-path quantization: "" (bf16) | "int8" | "int8_kv"
     # (applies to the sampler AND the continuous-batching engine)
     decode_quant: str = ""
+    # decode attention impl: "" (auto) | "xla" | "flash" | "flash_ref"
+    # (see Sampler._resolve_decode_impl; applies to both engines)
+    decode_impl: str = ""
 
 
 def setup_distributed(args: ModelArgs):

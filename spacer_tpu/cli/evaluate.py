@@ -25,7 +25,8 @@ def main(argv=None):
     setup_distributed(model_args)
     cfg, params, processor, mesh = load_model_and_processor(model_args)
     engine = QwenEngine(cfg, params, processor,
-                        decode_quant=model_args.decode_quant or None)
+                        decode_quant=model_args.decode_quant or None,
+                        decode_impl=model_args.decode_impl or None)
     metrics = run_benchmark(eval_cfg, engine)
     print(json.dumps(metrics, indent=1, default=float))
 

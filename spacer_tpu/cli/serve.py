@@ -69,7 +69,8 @@ def main(argv=None):
     setup_distributed(model_args)
     cfg, params, processor, mesh = load_model_and_processor(model_args)
     engine = QwenEngine(cfg, params, processor, top_p=serve_cfg.top_p,
-                        decode_quant=model_args.decode_quant or None)
+                        decode_quant=model_args.decode_quant or None,
+                        decode_impl=model_args.decode_impl or None)
 
     with open(serve_cfg.input_file) as f:
         rows = [json.loads(line) for line in f if line.strip()]

@@ -22,7 +22,8 @@ class QwenEngine:
 
     def __init__(self, cfg, params, processor, attn_impl=None,
                  length_bucket: int = 512, top_p: float = 1.0, seed: int = 0,
-                 decode_quant: str | None = None):
+                 decode_quant: str | None = None,
+                 decode_impl: str | None = None):
         from spacer_tpu.sampler import Sampler
 
         self.cfg = cfg
@@ -39,6 +40,7 @@ class QwenEngine:
             attn_impl=attn_impl,
             length_bucket=length_bucket,
             decode_quant=decode_quant,
+            decode_impl=decode_impl,
         )
 
     def generate(self, messages_list, *, max_new_tokens: int = 128,
@@ -166,6 +168,7 @@ class QwenEngine:
                 attn_impl=self.sampler.attn_impl, chunk_steps=chunk_steps,
                 seed=self.seed + self._calls, dtype=dtype,
                 decode_quant=self.sampler.decode_quant,
+                decode_impl=self.sampler.decode_impl,
             )
         return self._batchers[key]
 
