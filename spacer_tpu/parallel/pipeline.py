@@ -66,7 +66,7 @@ def shard_layers_for_pipeline(params, mesh, axis: str = "pipe"):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mesh", "axis", "num_microbatches", "causal",
-                     "remat", "logits"),
+                     "remat", "logits", "batch_axis"),
 )
 def pipeline_lm_forward(
     params,
@@ -82,6 +82,7 @@ def pipeline_lm_forward(
     causal: bool = True,
     remat: bool = True,
     logits: bool = True,
+    batch_axis: str | None = None,
 ):
     """Full-sequence LM forward with the decoder stack pipelined over
     `mesh.shape[axis]` stages.  Returns logits (B, T, V) (or hidden
@@ -91,6 +92,10 @@ def pipeline_lm_forward(
     count.  `params["layers"]` should be sharded P(axis) on the layer
     axis (shard_layers_for_pipeline) — under jit the partitioner honors
     whatever placement the operands carry.
+
+    batch_axis composes pp with dp: microbatch rows shard over that mesh
+    axis (each (pipe, data) device runs the same schedule on its slice of
+    every microbatch; layer shards are replicated across data).
     """
     from spacer_tpu.models.qwen25_vl.language import _layer, _remat_wrap
     from spacer_tpu.nn.core import dense, embed, rms_norm
@@ -131,6 +136,7 @@ def pipeline_lm_forward(
 
     def stage_fn(local_layers, h_mbs, cos_mbs, sin_mbs, mask_mbs):
         s = jax.lax.axis_index(axis)
+        mb_local = h_mbs.shape[1]   # rows per device (mb / dp shard)
 
         def tick(carry, t):
             state, outputs = carry
@@ -160,20 +166,21 @@ def pipeline_lm_forward(
                 jnp.where(take, y, outputs[mc]))
             return (y, outputs), None
 
-        state0 = jnp.zeros((mb, T, D), h_mbs.dtype)
-        out0 = jnp.zeros((M, mb, T, D), h_mbs.dtype)
+        state0 = jnp.zeros((mb_local, T, D), h_mbs.dtype)
+        out0 = jnp.zeros((M, mb_local, T, D), h_mbs.dtype)
         (_, outputs), _ = jax.lax.scan(
             tick, (state0, out0), jnp.arange(M + S - 1))
         # only the last stage holds real data; psum replicates it so the
         # (tiny relative to a train step) head can run unsharded
         return jax.lax.psum(outputs, axis)
 
+    mb_spec = P(None, batch_axis)   # (M, mb, ...): rows shard over dp
     in_specs = (
         P(axis),   # stacked layers -> (L/S, ...) per stage
-        P(), P(), P(), P(),
+        mb_spec, mb_spec, mb_spec, mb_spec,
     )
     h_out = jax.shard_map(
-        stage_fn, mesh=mesh, in_specs=in_specs, out_specs=P(),
+        stage_fn, mesh=mesh, in_specs=in_specs, out_specs=mb_spec,
         check_vma=False,
     )(params["layers"], h_mbs, cos_mbs, sin_mbs, mask_mbs)
 

@@ -124,6 +124,28 @@ def test_pipeline_train_step_grad_parity():
                                    atol=3e-5, rtol=3e-4)
 
 
+def test_pipeline_composes_with_data_parallel():
+    """pp x dp on a 4x2 mesh: microbatch rows shard over `data`, logits
+    still match the single-program forward."""
+    cfg, params, ids, mask, pos = _setup(B=8, T=16, layers=4)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = jax.sharding.Mesh(devs, ("pipe", "data"))
+    params = shard_layers_for_pipeline(params, mesh)
+
+    with jax.default_matmul_precision("highest"):
+        want, _ = lm_forward(
+            params, cfg.text, input_ids=jnp.asarray(ids),
+            position_ids=jnp.asarray(pos), kv_mask=jnp.asarray(mask),
+        )
+        got = pipeline_lm_forward(
+            params, cfg.text, mesh, num_microbatches=2, batch_axis="data",
+            input_ids=jnp.asarray(ids), position_ids=jnp.asarray(pos),
+            kv_mask=jnp.asarray(mask),
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_pipeline_composes_with_optimizer_update():
     """One full pp train step: loss -> grads -> AdamW update, params move
     and stay sharded on the pipe axis."""
