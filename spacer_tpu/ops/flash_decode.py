@@ -64,10 +64,17 @@ def _chunk_budget(size: int, rows: int, itemsize: int,
     """Largest dividing chunk whose (rows, chunk, 128) K-or-V block stays
     under `budget` bytes — Mosaic double-buffers both K and V, so the
     VMEM bill is ~4x one block; 2MB/block keeps the whole program (q, out,
-    scratch, f32 logits included) comfortably inside the ~16MB VMEM."""
+    scratch, f32 logits included) comfortably inside the ~16MB VMEM.
+    When even the smallest dividing candidate busts the budget, return it
+    anyway (least-bad block); the full `size` only when nothing divides."""
+    fallback = None
     for c in candidates:
-        if size % c == 0 and size >= c and rows * c * 128 * itemsize <= budget:
-            return c
+        if size % c == 0 and size >= c:
+            if rows * c * 128 * itemsize <= budget:
+                return c
+            fallback = c   # large->small iteration: ends at the smallest
+    if fallback is not None:
+        return fallback
     return size if size > 0 else None
 
 
