@@ -46,6 +46,12 @@ class ServeConfig:
     # 0 = 8 * slots
     wave_size: int = 0
     serving: str = "continuous"   # "continuous" | "static"
+    # --http: run the OpenAI-compatible online server (serving/server.py)
+    # instead of the file-in/file-out batch path
+    http: bool = False
+    host: str = "127.0.0.1"
+    port: int = 8000
+    prompt_len: int = 1024        # http mode: the deployment prompt bucket
 
 
 def _row_to_messages(row: dict) -> list:
@@ -64,10 +70,28 @@ def main(argv=None):
     from spacer_tpu.evalharness import QwenEngine
 
     serve_cfg, model_args = parse_configs((ServeConfig, ModelArgs), argv)
-    if not serve_cfg.input_file:
-        raise SystemExit("--input_file is required")
+    if not serve_cfg.http and not serve_cfg.input_file:
+        raise SystemExit("--input_file is required (or pass --http)")
     setup_distributed(model_args)
     cfg, params, processor, mesh = load_model_and_processor(model_args)
+
+    if serve_cfg.http:
+        from spacer_tpu.serving import OpenAIServer
+
+        server = OpenAIServer(
+            cfg, params, processor,
+            model_name=model_args.model_name_or_path or "spacer",
+            slots=serve_cfg.slots, prompt_len=serve_cfg.prompt_len,
+            max_new_tokens=serve_cfg.max_new_tokens,
+            temperature=serve_cfg.temperature, top_p=serve_cfg.top_p,
+            chunk_steps=serve_cfg.chunk_steps,
+            decode_quant=model_args.decode_quant or None,
+            decode_impl=model_args.decode_impl or None,
+        )
+        print(f"serving {model_args.model_name_or_path or 'model'} on "
+              f"http://{serve_cfg.host}:{serve_cfg.port}/v1", flush=True)
+        server.serve_forever(serve_cfg.host, serve_cfg.port)
+        return
     engine = QwenEngine(cfg, params, processor, top_p=serve_cfg.top_p,
                         decode_quant=model_args.decode_quant or None,
                         decode_impl=model_args.decode_impl or None)

@@ -2,5 +2,7 @@
 
 from spacer_tpu.serving.batcher import ContinuousBatcher, ServedOutput
 from spacer_tpu.serving.ragged import ragged_decode_step
+from spacer_tpu.serving.server import OpenAIServer, ServingLoop
 
-__all__ = ["ContinuousBatcher", "ServedOutput", "ragged_decode_step"]
+__all__ = ["ContinuousBatcher", "ServedOutput", "ragged_decode_step",
+           "OpenAIServer", "ServingLoop"]

@@ -396,6 +396,58 @@ class ContinuousBatcher:
 
     # -- serving loop ----------------------------------------------------
 
+    # -- step primitives (shared by run() and the online ServingLoop) -----
+
+    def budget_of(self, req: dict, max_new: Optional[int] = None) -> int:
+        return min(int(req.get("max_new_tokens", max_new or self.Cmax)),
+                   self.Cmax)
+
+    def free_slots(self) -> list[int]:
+        return [r for r in range(self.R) if self._slot_req[r] is None]
+
+    def has_active(self) -> bool:
+        return any(i is not None for i in self._slot_req)
+
+    def admit(self, admissions: list) -> None:
+        """admissions: list of (tag, request, budget, slot).  `tag` is an
+        opaque caller handle returned by poll_finished."""
+        for tag, _req, _budget, slot in admissions:
+            assert self._slot_req[slot] is None, f"slot {slot} busy"
+            self._slot_req[slot] = tag
+        self._admit_wave([(req, budget, slot)
+                          for _tag, req, budget, slot in admissions])
+
+    def decode_chunk(self) -> None:
+        """Run up to chunk_steps ring decode steps (one program)."""
+        self.state = _chunk_jit(
+            self.state, self.layer_params, self.other_params,
+            chunk_steps=self.chunk_steps, head_major=self.head_major,
+            use_kernel=self.use_kernel, text_cfg=self.cfg.text,
+            temperature=self.temperature, top_p=self.top_p,
+            eos_token_id=self.eos)
+
+    def poll_finished(self) -> list:
+        """Collect (tag, ServedOutput) for slots that finished; frees them.
+
+        Fetches the small per-slot flags every call; the (R, Cmax) token
+        buffer only moves host-side when something actually finished."""
+        done = np.asarray(self.state["done"])
+        ts = np.asarray(self.state["t"])
+        finished = [r for r in range(self.R)
+                    if self._slot_req[r] is not None and bool(done[r])]
+        results = []
+        if finished:
+            out = np.asarray(self.state["out"])
+            for r in finished:
+                tag = self._slot_req[r]
+                seq = out[r]
+                cmask = completion_mask_from_ids(seq[None], self.eos)[0]
+                length = int(min(cmask.sum(), ts[r]))
+                results.append((tag, ServedOutput(sequences=seq,
+                                                  length=length)))
+                self._slot_req[r] = None
+        return results
+
     def run(self, requests: Sequence[dict],
             max_new_tokens: Optional[int] = None) -> list[ServedOutput]:
         """Drive all requests to completion; returns outputs in order.
@@ -408,48 +460,26 @@ class ContinuousBatcher:
             raise ValueError(f"max_new {max_new} exceeds bucket {self.Cmax}")
         results: list[Optional[ServedOutput]] = [None] * len(requests)
 
-        def budget_of(req):
-            return min(int(req.get("max_new_tokens", max_new)), self.Cmax)
-
         # longest-declared-budget-first (LPT): with heterogeneous budgets
         # this keeps the drain phase short — a 1024-budget request admitted
         # last would otherwise run alone at the end.  Declared budgets only
         # (actual EOS lengths are unknowable in advance); results keep the
         # caller's order.
         order = sorted(range(len(requests)),
-                       key=lambda i: -budget_of(requests[i]))
+                       key=lambda i: -self.budget_of(requests[i], max_new))
         queue = deque((i, requests[i]) for i in order)
-        kw = dict(text_cfg=self.cfg.text, temperature=self.temperature,
-                  top_p=self.top_p, eos_token_id=self.eos)
 
-        while queue or any(i is not None for i in self._slot_req):
+        while queue or self.has_active():
             admissions = []
-            for r in range(self.R):
-                if self._slot_req[r] is None and queue:
-                    i, req = queue.popleft()
-                    admissions.append((req, budget_of(req), r))
-                    self._slot_req[r] = i
+            for slot in self.free_slots():
+                if not queue:
+                    break
+                i, req = queue.popleft()
+                admissions.append((i, req, self.budget_of(req, max_new),
+                                   slot))
             if admissions:
-                self._admit_wave(admissions)
-
-            self.state = _chunk_jit(
-                self.state, self.layer_params, self.other_params,
-                chunk_steps=self.chunk_steps, head_major=self.head_major,
-                use_kernel=self.use_kernel, **kw)
-
-            # fetch the small per-slot flags every chunk; the (R, Cmax)
-            # token buffer only moves host-side when something finished
-            done = np.asarray(self.state["done"])
-            ts = np.asarray(self.state["t"])
-            finished = [r for r in range(self.R)
-                        if self._slot_req[r] is not None and bool(done[r])]
-            if finished:
-                out = np.asarray(self.state["out"])
-                for r in finished:
-                    i = self._slot_req[r]
-                    seq = out[r]
-                    cmask = completion_mask_from_ids(seq[None], self.eos)[0]
-                    length = int(min(cmask.sum(), ts[r]))
-                    results[i] = ServedOutput(sequences=seq, length=length)
-                    self._slot_req[r] = None
+                self.admit(admissions)
+            self.decode_chunk()
+            for i, served in self.poll_finished():
+                results[i] = served
         return results  # type: ignore[return-value]

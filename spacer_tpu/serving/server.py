@@ -1,0 +1,313 @@
+"""Online serving: a threaded continuous-batching loop + an
+OpenAI-compatible HTTP front-end (stdlib only).
+
+Role parity: the reference ecosystem serves its models through vLLM's
+OpenAI-compatible server — the distilabel data generator explicitly
+targets one (SpaceR-SG-RLVR open_r1/generate.py:22-54, OpenAI client +
+base_url).  This module supplies that surface TPU-natively: requests
+arrive on ordinary HTTP handler threads, are queued, and a single
+serving thread drives the clock-ring ContinuousBatcher (admission →
+chunked decode → retirement) so ALL device work stays on one thread
+while finished slots refill mid-flight between concurrent requests.
+
+Endpoints (ThreadingHTTPServer):
+  GET  /health                 -> {"status": "ok"}
+  GET  /v1/models              -> model listing
+  POST /v1/chat/completions    -> OpenAI chat schema (non-streaming)
+  POST /v1/completions         -> plain-prompt variant
+
+Deployment-shaped constraints (documented, not hidden): one server
+instance = one compiled geometry (prompt_len/max_tokens buckets) and one
+sampling temperature, like a dedicated inference deployment; prompts
+longer than the bucket get HTTP 413.  Multimodal content rides the
+processor's own message schema ({"type": "video"|"image", ...} entries,
+plus OpenAI-style {"type": "image_url"} which is translated).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import threading
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class _Pending:
+    __slots__ = ("event", "output", "error")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.output = None
+        self.error: Optional[str] = None
+
+
+class ServingLoop:
+    """Single background thread driving a ContinuousBatcher.
+
+    submit() is thread-safe and returns a handle; result(handle) blocks
+    until that request retires.  The loop admits from the queue whenever
+    slots free up, so concurrent requests share decode programs.
+    """
+
+    def __init__(self, batcher):
+        self.batcher = batcher
+        self._cv = threading.Condition()
+        self._queue: deque = deque()
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="spacer-serving-loop")
+        self._thread.start()
+
+    def submit(self, request: dict,
+               max_new_tokens: Optional[int] = None) -> _Pending:
+        pending = _Pending()
+        budget = self.batcher.budget_of(request, max_new_tokens)
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("serving loop stopped")
+            self._queue.append((pending, request, budget))
+            self._cv.notify()
+        return pending
+
+    def result(self, pending: _Pending, timeout: Optional[float] = None):
+        if not pending.event.wait(timeout):
+            raise TimeoutError("request did not finish in time")
+        if pending.error:
+            raise RuntimeError(pending.error)
+        return pending.output
+
+    def shutdown(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=60)
+
+    # -- loop thread ------------------------------------------------------
+
+    def _run(self):
+        b = self.batcher
+        while True:
+            with self._cv:
+                while not self._queue and not b.has_active():
+                    if self._stop:
+                        # fail whatever never got admitted
+                        return
+                    self._cv.wait(timeout=0.5)
+                admissions = []
+                for slot in b.free_slots():
+                    if not self._queue:
+                        break
+                    pending, req, budget = self._queue.popleft()
+                    admissions.append((pending, req, budget, slot))
+            try:
+                if admissions:
+                    b.admit(admissions)
+                b.decode_chunk()
+                for pending, served in b.poll_finished():
+                    pending.output = served
+                    pending.event.set()
+            except Exception as e:  # noqa: BLE001 — fail pending, keep serving
+                for pending, _req, _budget, _slot in admissions:
+                    pending.error = f"{type(e).__name__}: {e}"
+                    pending.event.set()
+                if not admissions:
+                    raise
+
+
+def _to_processor_content(content) -> list:
+    """OpenAI message content -> processor content list."""
+    if isinstance(content, str):
+        return [{"type": "text", "text": content}]
+    out = []
+    for item in content:
+        kind = item.get("type")
+        if kind == "image_url":
+            url = item["image_url"]
+            if isinstance(url, dict):
+                url = url.get("url", "")
+            out.append({"type": "image", "image": url})
+        else:
+            out.append(dict(item))
+    return out
+
+
+def encode_chat(processor, cfg, messages: list) -> dict:
+    """Messages -> a ContinuousBatcher request dict (same encode path as
+    QwenEngine.generate_many)."""
+    from spacer_tpu.data.processor import pack_vision_inputs
+    from spacer_tpu.models.registry import family_for_config
+
+    norm = [{"role": m.get("role", "user"),
+             "content": _to_processor_content(m.get("content", ""))}
+            for m in messages]
+    enc = processor.process_messages([norm], add_generation_prompt=True)
+    family = family_for_config(cfg)
+    pos, deltas = family.positions(
+        cfg, enc["input_ids"], enc["attention_mask"], enc)
+    pixel_values, grid_thw = pack_vision_inputs(enc)
+    req = {
+        "input_ids": enc["input_ids"],
+        "attention_mask": enc["attention_mask"],
+        "position_ids": pos,
+        "deltas": deltas,
+        "grid_thw": grid_thw,
+    }
+    if pixel_values is not None:
+        req["vision_kwargs"] = {"pixel_values": pixel_values}
+    return req
+
+
+class OpenAIServer:
+    """stdlib HTTP server speaking the OpenAI completion schema."""
+
+    def __init__(self, cfg, params, processor, *, model_name: str = "spacer",
+                 slots: int = 4, prompt_len: int = 1024,
+                 max_new_tokens: int = 512, temperature: float = 0.01,
+                 top_p: float = 1.0, chunk_steps: int = 16,
+                 decode_quant: Optional[str] = None,
+                 decode_impl: Optional[str] = None,
+                 request_timeout: float = 600.0, dtype=None):
+        from spacer_tpu.serving.batcher import ContinuousBatcher
+
+        if dtype is None:
+            dtype = params["model"]["embed_tokens"]["embedding"].dtype
+        self.cfg = cfg
+        self.processor = processor
+        self.model_name = model_name
+        self.prompt_len = prompt_len
+        self.request_timeout = request_timeout
+        self._ids = itertools.count()
+        self.batcher = ContinuousBatcher(
+            cfg, params, slots=slots, prompt_len=prompt_len,
+            max_new_tokens=max_new_tokens,
+            eos_token_id=processor.eos_token_id,
+            pad_token_id=processor.pad_token_id,
+            temperature=temperature, top_p=top_p, chunk_steps=chunk_steps,
+            decode_quant=decode_quant, decode_impl=decode_impl, dtype=dtype,
+        )
+        self.loop = ServingLoop(self.batcher)
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # -- request handling --------------------------------------------------
+
+    def _complete(self, messages: list, max_tokens: Optional[int]) -> dict:
+        req = encode_chat(self.processor, self.cfg, messages)
+        n_prompt = int(req["attention_mask"].sum())
+        if req["input_ids"].shape[1] > self.prompt_len:
+            raise _HttpError(
+                413, f"prompt length {req['input_ids'].shape[1]} exceeds "
+                     f"this deployment's bucket {self.prompt_len}")
+        if max_tokens:
+            req["max_new_tokens"] = int(max_tokens)
+        served = self.loop.result(self.loop.submit(req),
+                                  timeout=self.request_timeout)
+        text = self.processor.tokenizer.batch_decode(
+            [np.asarray(served.sequences[:served.length])],
+            skip_special_tokens=True,
+        )[0]
+        finish = ("length" if served.length >= self.batcher.budget_of(req)
+                  else "stop")
+        return {
+            "id": f"chatcmpl-{next(self._ids)}",
+            "object": "chat.completion",
+            "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": finish,
+            }],
+            "usage": {
+                "prompt_tokens": n_prompt,
+                "completion_tokens": int(served.length),
+                "total_tokens": n_prompt + int(served.length),
+            },
+        }
+
+    # -- http plumbing ------------------------------------------------------
+
+    def serve_forever(self, host: str = "127.0.0.1", port: int = 8000):
+        self._httpd = ThreadingHTTPServer((host, port), self._handler())
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self.loop.shutdown()
+
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        """Non-blocking start (tests); returns the bound port."""
+        self._httpd = ThreadingHTTPServer((host, port), self._handler())
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self._httpd.server_address[1]
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+        self.loop.shutdown()
+
+    def _handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    return self._send(200, {"status": "ok"})
+                if self.path == "/v1/models":
+                    return self._send(200, {
+                        "object": "list",
+                        "data": [{"id": server.model_name,
+                                  "object": "model"}],
+                    })
+                return self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/v1/chat/completions":
+                        out = server._complete(
+                            body.get("messages", []),
+                            body.get("max_tokens"))
+                    elif self.path == "/v1/completions":
+                        messages = [{"role": "user",
+                                     "content": body.get("prompt", "")}]
+                        out = server._complete(messages,
+                                               body.get("max_tokens"))
+                        out["object"] = "text_completion"
+                        out["choices"] = [{
+                            "index": 0,
+                            "text": out["choices"][0]["message"]["content"],
+                            "finish_reason":
+                                out["choices"][0]["finish_reason"],
+                        }]
+                    else:
+                        return self._send(404, {"error": "not found"})
+                    return self._send(200, out)
+                except _HttpError as e:
+                    return self._send(e.code, {"error": e.message})
+                except Exception as e:  # noqa: BLE001
+                    return self._send(
+                        500, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler
+
+
+class _HttpError(Exception):
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+        self.message = message

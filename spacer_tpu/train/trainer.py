@@ -127,6 +127,9 @@ class SGRLVRConfig:
     # reads too). logps/updates stay bf16 (sound for GRPO, see
     # ops/quant.py docstring)
     decode_quant: Optional[str] = None
+    # rollout decode attention impl: None (auto) | "xla" | "flash" |
+    # "flash_ref" (Sampler._resolve_decode_impl)
+    decode_impl: Optional[str] = None
 
 
 class SGRLVRTrainer:
@@ -200,6 +203,7 @@ class SGRLVRTrainer:
             attn_impl=args.attn_impl,
             length_bucket=args.prompt_bucket,
             decode_quant=args.decode_quant,
+            decode_impl=args.decode_impl,
         )
         self.step_fn = make_grpo_train_step(
             cfg, self.tx, beta=args.beta, remat=args.remat,
