@@ -169,6 +169,38 @@ def test_ragged_kernel_matches_reference_interpret():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_batcher_head_major_aria_family():
+    """The head-major (flash-layout) ring layer is family-generic: Aria's
+    MoE feed-forward dispatches through the shared _mlp_block, and
+    flash_ref greedy outputs match the einsum path exactly."""
+    from spacer_tpu.models.aria.config import tiny_aria_config
+    from spacer_tpu.models.aria.model import init_params as aria_init
+    from spacer_tpu.models.registry import aria_positions
+    from spacer_tpu.serving import ContinuousBatcher
+
+    cfg = tiny_aria_config()
+    params = aria_init(jax.random.key(0), cfg, jnp.float32)
+    rng = np.random.RandomState(5)
+    reqs = []
+    for S in [5, 9, 7]:
+        ids = rng.randint(10, cfg.text.vocab_size, size=(1, S)).astype(
+            np.int32)
+        mask = np.ones((1, S), np.int32)
+        pos3, deltas = aria_positions(cfg, ids, mask)
+        reqs.append({"input_ids": ids, "attention_mask": mask,
+                     "position_ids": pos3, "deltas": deltas})
+    outs = {}
+    for impl in ("xla", "flash_ref"):
+        b = ContinuousBatcher(
+            cfg, params, slots=2, prompt_len=16, max_new_tokens=6,
+            eos_token_id=-1, temperature=0.0, chunk_steps=3,
+            dtype=jnp.float32, decode_impl=impl)
+        outs[impl] = b.run(reqs)
+    for a, b_ in zip(outs["xla"], outs["flash_ref"]):
+        np.testing.assert_array_equal(a.sequences[:a.length],
+                                      b_.sequences[:a.length])
+
+
 @pytest.mark.parametrize("decode_quant", [None, "int8_kv"])
 def test_batcher_head_major_matches_einsum(decode_quant):
     """Continuous batcher with the flash (head-major) cache layout must
