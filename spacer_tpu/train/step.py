@@ -61,16 +61,33 @@ def _completion_logps(
     params, cfg, input_ids, position_ids, kv_mask,
     prompt_len: int, vision_embeds=None, remat: bool = False,
     attn_impl=None, logp_chunk: int = 256, merge_fn=merge_vision_embeds,
+    pipeline=None,
 ):
-    """Per-token logps of the completion part. input_ids: (N, P+C)."""
+    """Per-token logps of the completion part. input_ids: (N, P+C).
+
+    pipeline=(mesh, num_microbatches): run the decoder stack GPipe-
+    pipelined over the mesh's `pipe` axis (parallel/pipeline.py) instead
+    of the single-program lm_forward — the pp analogue of the ring/sp
+    attn_impl tuple, sharing this packed schema."""
     token_embeds = embed(params["model"]["embed_tokens"], input_ids)
     if vision_embeds is not None:
         token_embeds = merge_fn(cfg, input_ids, token_embeds, vision_embeds)
-    hidden, _ = lm_forward(
-        params["model"], cfg.text, input_embeds=token_embeds,
-        position_ids=position_ids, kv_mask=kv_mask, logits=False,
-        remat=remat, attn_impl=attn_impl,
-    )
+    if pipeline is not None:
+        from spacer_tpu.parallel.pipeline import pipeline_lm_forward
+
+        pp_mesh, n_micro = pipeline
+        hidden = pipeline_lm_forward(
+            params["model"], cfg.text, pp_mesh, num_microbatches=n_micro,
+            input_embeds=token_embeds, position_ids=position_ids,
+            kv_mask=kv_mask, remat=remat, logits=False,
+            batch_axis="data" if "data" in pp_mesh.axis_names else None,
+        )
+    else:
+        hidden, _ = lm_forward(
+            params["model"], cfg.text, input_embeds=token_embeds,
+            position_ids=position_ids, kv_mask=kv_mask, logits=False,
+            remat=remat, attn_impl=attn_impl,
+        )
     # position i predicts token i+1; completion tokens are ids[:, P:]
     h = hidden[:, prompt_len - 1 : -1]
     targets = input_ids[:, prompt_len:]
@@ -160,6 +177,7 @@ def make_grpo_train_step(
     attn_impl: Optional[str] = None,
     logp_chunk: int = 256,
     encode_vision_in_step: bool = True,
+    pipeline=None,
 ):
     """Returns step(params, ref_params, opt_state, batch, grid_thw,
     num_generations, prompt_len) -> (params, opt_state, metrics).
@@ -182,7 +200,8 @@ def make_grpo_train_step(
       advantages              (N,)
       vision arrays           family.vision_batch_keys, optional
 
-    Legacy packed (numerics oracle; also the ring-attention/sp path):
+    Legacy packed (numerics oracle; also the ring-attention/sp path and,
+    via pipeline=(mesh, num_microbatches), the pipeline-parallel path):
       input_ids       (N, P+C) prompt+completion, left-padded prompt
       kv_mask         (N, P+C) attention mask incl. completion mask
       position_ids    (3, N, P+C)
@@ -212,6 +231,10 @@ def make_grpo_train_step(
         """Dispatch on batch schema: shared-prefix (prompt/completion split,
         the default trainer path) vs legacy packed (N, P+C) rows."""
         if "prompt_ids" in batch:
+            assert pipeline is None, (
+                "pipeline parallelism uses the packed (input_ids/kv_mask) "
+                "schema, like the ring/sp path"
+            )
             vk = {k: batch[k] for k in family.vision_batch_keys if k in batch}
             vision_embeds = None
             if vk and encode_vision_in_step:
@@ -235,7 +258,7 @@ def make_grpo_train_step(
             params, cfg, batch["input_ids"], batch["position_ids"],
             batch["kv_mask"], prompt_len, vision_embeds=vision_embeds,
             remat=remat, attn_impl=attn_impl, logp_chunk=logp_chunk,
-            merge_fn=family.merge_vision_embeds,
+            merge_fn=family.merge_vision_embeds, pipeline=pipeline,
         )
 
     def loss_fn(params, ref_logps, batch, grid_thw, num_generations,

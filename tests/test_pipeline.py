@@ -146,6 +146,67 @@ def test_pipeline_composes_with_data_parallel():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_grpo_step_with_pipeline():
+    """make_grpo_train_step(pipeline=(mesh, M)) — the full GRPO step
+    (loss, KL, grads, update) through the pipelined forward matches the
+    single-program step, packed schema (same contract as the ring/sp
+    path, tests/test_ring_train_step.py)."""
+    import optax
+
+    from spacer_tpu.train.step import make_grpo_train_step
+
+    cfg, params0, ids, mask, pos = _setup(B=8, T=24, layers=4)
+    mesh = _pipe_mesh(4)
+    P_len, C, G = 16, 8, 8
+    rng = np.random.default_rng(7)
+    batch = {
+        "input_ids": ids,
+        "kv_mask": np.asarray(mask),
+        "position_ids": pos,
+        "completion_mask": np.ones((8, C), np.int32),
+        "advantages": rng.normal(size=(8,)).astype(np.float32),
+    }
+
+    def run(pipeline, seed=0):
+        import dataclasses
+
+        cfg_full = cfg  # Qwen25VLConfig with 4 layers
+        from spacer_tpu.models.qwen25_vl import init_params
+
+        params = init_params(jax.random.key(seed), cfg_full, jnp.float32)
+        if pipeline is not None:
+            params = dict(params)
+            params["model"] = shard_layers_for_pipeline(
+                params["model"], mesh)
+        ref = jax.tree.map(jnp.copy, params)
+        tx = optax.adamw(1e-3)
+        opt = tx.init(params)
+        step = make_grpo_train_step(
+            cfg_full, tx, beta=0.04, remat=True, logp_chunk=8,
+            pipeline=pipeline,
+        )
+        p2, _, metrics = step(
+            params, ref, opt, dict(batch), grid_thw=None,
+            num_generations=G, prompt_len=P_len,
+        )
+        return p2, metrics
+
+    with jax.default_matmul_precision("highest"):
+        p_pp, m_pp = run((mesh, 2))
+        p_ref, m_ref = run(None)
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_pp["kl"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        float(m_pp["grad_norm"]), float(m_ref["grad_norm"]), rtol=1e-4)
+    # updated params agree absolutely: Adam normalizes tiny grads to ~±lr,
+    # so f32 noise in near-zero grads surfaces at the 1e-4·lr scale (the
+    # same bound the ring/sp step-parity test uses)
+    for a, b in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_pipeline_composes_with_optimizer_update():
     """One full pp train step: loss -> grads -> AdamW update, params move
     and stay sharded on the pipe axis."""
