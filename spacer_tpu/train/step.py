@@ -344,12 +344,16 @@ def make_sft_train_step(
     remat: bool = True,
     attn_impl: Optional[str] = None,
     logp_chunk: int = 256,
+    pipeline=None,
 ):
     """SFT step (sft.py semantics): next-token CE with labels = input_ids,
     positions with label -100 (pad + visual tokens) masked out.
 
     batch: input_ids (N, S), labels (N, S) with -100 masking, kv_mask,
     position_ids (3, N, S), pixel_values/grid_thw optional.
+
+    pipeline=(mesh, num_microbatches): GPipe-pipelined decoder forward
+    (parallel/pipeline.py), same contract as make_grpo_train_step.
     """
 
     def loss_fn(params, batch, grid_thw):
@@ -365,11 +369,25 @@ def make_sft_train_step(
             token_embeds = merge_vision_embeds(
                 cfg, batch["input_ids"], token_embeds, vision_embeds
             )
-        hidden, _ = lm_forward(
-            params["model"], cfg.text, input_embeds=token_embeds,
-            position_ids=batch["position_ids"], kv_mask=batch["kv_mask"],
-            logits=False, remat=remat, attn_impl=attn_impl,
-        )
+        if pipeline is not None:
+            from spacer_tpu.parallel.pipeline import pipeline_lm_forward
+
+            pp_mesh, n_micro = pipeline
+            hidden = pipeline_lm_forward(
+                params["model"], cfg.text, pp_mesh,
+                num_microbatches=n_micro, input_embeds=token_embeds,
+                position_ids=batch["position_ids"],
+                kv_mask=batch["kv_mask"], remat=remat, logits=False,
+                batch_axis=("data" if "data" in pp_mesh.axis_names
+                            else None),
+            )
+        else:
+            hidden, _ = lm_forward(
+                params["model"], cfg.text, input_embeds=token_embeds,
+                position_ids=batch["position_ids"],
+                kv_mask=batch["kv_mask"],
+                logits=False, remat=remat, attn_impl=attn_impl,
+            )
         h = hidden[:, :-1]
         labels = batch["labels"][:, 1:]
         mask = labels != -100

@@ -207,6 +207,44 @@ def test_grpo_step_with_pipeline():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_sft_step_with_pipeline():
+    """make_sft_train_step(pipeline=...): loss parity with the
+    single-program SFT step."""
+    import optax
+
+    from spacer_tpu.train.step import make_sft_train_step
+
+    cfg, params0, ids, mask, pos = _setup(B=4, T=16, layers=4)
+    mesh = _pipe_mesh(4)
+    labels = np.where(np.asarray(mask), ids, -100).astype(np.int32)
+    batch = {
+        "input_ids": ids,
+        "labels": labels,
+        "kv_mask": np.asarray(mask),
+        "position_ids": pos,
+    }
+
+    def run(pipeline):
+        from spacer_tpu.models.qwen25_vl import init_params
+
+        params = init_params(jax.random.key(0), cfg, jnp.float32)
+        if pipeline is not None:
+            params = dict(params)
+            params["model"] = shard_layers_for_pipeline(
+                params["model"], mesh)
+        tx = optax.adamw(1e-3)
+        opt = tx.init(params)
+        step = make_sft_train_step(cfg, tx, logp_chunk=8, pipeline=pipeline)
+        _, _, metrics = step(params, opt, dict(batch))
+        return metrics
+
+    with jax.default_matmul_precision("highest"):
+        m_pp = run((mesh, 2))
+        m_ref = run(None)
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+
+
 def test_pipeline_composes_with_optimizer_update():
     """One full pp train step: loss -> grads -> AdamW update, params move
     and stay sharded on the pipe axis."""
