@@ -94,31 +94,12 @@ class QwenEngine:
         cached per geometry across calls (no per-wave recompilation)."""
         import numpy as np
 
-        from spacer_tpu.data.processor import pack_vision_inputs
-        from spacer_tpu.models.qwen25_vl import get_rope_index
+        from spacer_tpu.models.registry import encode_request
 
-        requests = []
-        for m in messages_list:
-            enc = self.processor.process_messages(
-                [m], add_generation_prompt=True)
-            pos, deltas = get_rope_index(
-                self.cfg, enc["input_ids"],
-                image_grid_thw=enc.get("image_grid_thw"),
-                video_grid_thw=enc.get("video_grid_thw"),
-                second_per_grid_ts=enc.get("second_per_grid_ts"),
-                attention_mask=enc["attention_mask"],
-            )
-            pixel_values, grid_thw = pack_vision_inputs(enc)
-            req = {
-                "input_ids": enc["input_ids"],
-                "attention_mask": enc["attention_mask"],
-                "position_ids": pos,
-                "deltas": deltas,
-                "grid_thw": grid_thw,
-            }
-            if pixel_values is not None:
-                req["vision_kwargs"] = {"pixel_values": pixel_values}
-            requests.append(req)
+        # single shared encode path (family-generic positions) — the same
+        # helper the HTTP server uses (serving/server.py encode_chat)
+        requests = [encode_request(self.processor, self.cfg, m)
+                    for m in messages_list]
 
         bucket = self.sampler.length_bucket
 

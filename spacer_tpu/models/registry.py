@@ -212,3 +212,28 @@ def get_family(name_or_model_id: str) -> ModelFamily:
 def family_for_config(cfg) -> ModelFamily:
     """Resolve from a config object (AriaConfig vs Qwen25VLConfig)."""
     return get_family(type(cfg).__name__)
+
+
+def encode_request(processor, cfg, conversation: list) -> dict:
+    """One conversation (processor message schema) -> a serving request
+    dict (input_ids/attention_mask/position_ids/deltas/grid_thw[/vision
+    kwargs]) for ContinuousBatcher — the single encode path shared by
+    QwenEngine.generate_many and the HTTP server (serving/server.py)."""
+    from spacer_tpu.data.processor import pack_vision_inputs
+
+    enc = processor.process_messages([conversation],
+                                     add_generation_prompt=True)
+    family = family_for_config(cfg)
+    pos, deltas = family.positions(
+        cfg, enc["input_ids"], enc["attention_mask"], enc)
+    pixel_values, grid_thw = pack_vision_inputs(enc)
+    req = {
+        "input_ids": enc["input_ids"],
+        "attention_mask": enc["attention_mask"],
+        "position_ids": pos,
+        "deltas": deltas,
+        "grid_thw": grid_thw,
+    }
+    if pixel_values is not None:
+        req["vision_kwargs"] = {"pixel_values": pixel_values}
+    return req

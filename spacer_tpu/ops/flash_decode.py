@@ -189,8 +189,12 @@ def _kernel(step_ref, q_ref, pk_ref, pv_ref, bias_ref, tk_ref, tv_ref,
 
     @pl.when(c == nc - 1)
     def _finalize():
-        # rows with no valid position (empty/done serving slots) produce 0
-        # instead of 0/0 NaN; their outputs are discarded by the caller
+        # fully-masked rows (empty/done serving slots) produce FINITE
+        # garbage, not a guaranteed value: every -1e30-masked logit becomes
+        # the row max, so p=1 everywhere and the output is the mean of the
+        # masked V rows.  Callers MUST discard such rows' outputs (the
+        # serving loop does).  The clamp is a belt against l underflowing
+        # to 0 in pathological float cases — never NaN out of this kernel.
         denom = jnp.maximum(l_sc[:, :1], 1e-30)
         o_ref[...] = (acc_sc[...] / denom).reshape(o_ref.shape).astype(
             o_ref.dtype)
@@ -311,8 +315,9 @@ def _ragged_kernel(q_ref, pk_ref, pv_ref, bias_p_ref, tk_ref, tv_ref,
                    group_q: int, sm_scale: float, quant: bool):
     """Clock-ring serving variant: RB independent rows per program, both
     the prefix and the ring masked by per-row additive biases.  Each chunk
-    runs as ONE (RB*group_q, RB*chunk) MXU matmul with a block-diagonal
-    row-match mask (see _kernel's tail phase)."""
+    runs as an RB-batched dot (q (RB, group_q, Dh) x k (RB, chunk, Dh)) —
+    true logits only; a flattened (RB*group_q, RB*chunk) block-diagonal
+    matmul would exp/mask RBx more VPU elements than exist."""
     c = pl.program_id(2)
     nc = pl.num_programs(2)
 
@@ -366,6 +371,8 @@ def _ragged_kernel(q_ref, pk_ref, pv_ref, bias_p_ref, tk_ref, tv_ref,
 
     @pl.when(c == nc - 1)
     def _finalize():
+        # fully-masked rows produce finite garbage (mean of masked V), not
+        # a guaranteed value — see _kernel's finalize note; callers discard
         denom = jnp.maximum(l_sc[:, :1], 1e-30)
         o_ref[...] = (acc_sc[...] / denom).reshape(
             o_ref.shape).astype(o_ref.dtype)

@@ -134,6 +134,12 @@ def pipeline_lm_forward(
         )
         return h
 
+    # same remat policy semantics as every other forward path: False /
+    # True / "dots" / "dots_narrow" all route through _remat_wrap (a bare
+    # `if remat:` would silently degrade the string policies to full
+    # per-layer recompute)
+    layer_body = _remat_wrap(layer_body, remat, cfg)
+
     def stage_fn(local_layers, h_mbs, cos_mbs, sin_mbs, mask_mbs):
         s = jax.lax.axis_index(axis)
         mb_local = h_mbs.shape[1]   # rows per device (mb / dp shard)
@@ -152,10 +158,7 @@ def pipeline_lm_forward(
             mask_m = mask_mbs[mc]
 
             def body(h, lp):
-                fn = layer_body
-                if remat:
-                    fn = jax.checkpoint(fn)
-                return fn(h, lp, cos_m, sin_m, mask_m), None
+                return layer_body(h, lp, cos_m, sin_m, mask_m), None
 
             y, _ = jax.lax.scan(body, x_in, local_layers)
             active = (m >= 0) & (m < M)

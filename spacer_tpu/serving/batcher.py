@@ -254,6 +254,21 @@ class ContinuousBatcher:
             decode_impl = os.environ.get("SPACER_DECODE_IMPL") or None
         if decode_impl in ("flash", "flash_ref"):
             resolved = decode_impl
+            if decode_impl == "flash":
+                # Mosaic legality is enforced on real TPU only (interpret
+                # mode passes illegal tilings), so an explicit kernel
+                # request with illegal buckets must fail HERE with a clear
+                # message, not crash the first decode_chunk
+                from spacer_tpu.ops.flash_decode import flash_decode_supported
+
+                if not flash_decode_supported(
+                        prompt_len, max_new_tokens, cfg.text.head_dim, 1):
+                    raise ValueError(
+                        f"decode_impl='flash' needs head_dim 128 and "
+                        f"128-multiple buckets; got head_dim="
+                        f"{cfg.text.head_dim}, prompt_len={prompt_len}, "
+                        f"max_new_tokens={max_new_tokens}. Use "
+                        f"decode_impl='xla' or adjust the buckets.")
         else:
             # auto = XLA: the fused ring kernel is opt-in until an on-chip
             # measurement shows it beating the einsum path (see

@@ -58,6 +58,7 @@ class ServingLoop:
         self._cv = threading.Condition()
         self._queue: deque = deque()
         self._stop = False
+        self._died: Optional[str] = None
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="spacer-serving-loop")
         self._thread.start()
@@ -68,7 +69,9 @@ class ServingLoop:
         budget = self.batcher.budget_of(request, max_new_tokens)
         with self._cv:
             if self._stop:
-                raise RuntimeError("serving loop stopped")
+                raise RuntimeError(
+                    "serving loop stopped"
+                    + (f" (died: {self._died})" if self._died else ""))
             self._queue.append((pending, request, budget))
             self._cv.notify()
         return pending
@@ -110,12 +113,29 @@ class ServingLoop:
                 for pending, served in b.poll_finished():
                     pending.output = served
                     pending.event.set()
-            except Exception as e:  # noqa: BLE001 — fail pending, keep serving
-                for pending, _req, _budget, _slot in admissions:
-                    pending.error = f"{type(e).__name__}: {e}"
-                    pending.event.set()
-                if not admissions:
-                    raise
+            except Exception as e:  # noqa: BLE001
+                # a failed device program means the ring state can no longer
+                # be trusted: fail EVERYTHING (this wave's admissions,
+                # in-flight slots, the queue), mark the loop dead so
+                # submit() raises immediately, and exit the thread —
+                # nothing is left hanging until its request_timeout
+                msg = f"{type(e).__name__}: {e}"
+                dead = list(admissions)
+                for slot, tag in enumerate(b._slot_req):
+                    if tag is not None:
+                        dead.append((tag, None, None, slot))
+                        b._slot_req[slot] = None
+                with self._cv:
+                    self._died = msg
+                    self._stop = True
+                    while self._queue:
+                        pending, _req, _budget = self._queue.popleft()
+                        dead.append((pending, None, None, None))
+                for pending, _req, _budget, _slot in dead:
+                    if isinstance(pending, _Pending):
+                        pending.error = msg
+                        pending.event.set()
+                return
 
 
 def _to_processor_content(content) -> list:
@@ -136,29 +156,14 @@ def _to_processor_content(content) -> list:
 
 
 def encode_chat(processor, cfg, messages: list) -> dict:
-    """Messages -> a ContinuousBatcher request dict (same encode path as
-    QwenEngine.generate_many)."""
-    from spacer_tpu.data.processor import pack_vision_inputs
-    from spacer_tpu.models.registry import family_for_config
+    """OpenAI-schema messages -> a ContinuousBatcher request dict (the
+    shared registry.encode_request path, after content normalization)."""
+    from spacer_tpu.models.registry import encode_request
 
     norm = [{"role": m.get("role", "user"),
              "content": _to_processor_content(m.get("content", ""))}
             for m in messages]
-    enc = processor.process_messages([norm], add_generation_prompt=True)
-    family = family_for_config(cfg)
-    pos, deltas = family.positions(
-        cfg, enc["input_ids"], enc["attention_mask"], enc)
-    pixel_values, grid_thw = pack_vision_inputs(enc)
-    req = {
-        "input_ids": enc["input_ids"],
-        "attention_mask": enc["attention_mask"],
-        "position_ids": pos,
-        "deltas": deltas,
-        "grid_thw": grid_thw,
-    }
-    if pixel_values is not None:
-        req["vision_kwargs"] = {"pixel_values": pixel_values}
-    return req
+    return encode_request(processor, cfg, norm)
 
 
 class OpenAIServer:
