@@ -824,7 +824,55 @@ def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024, *,
     }
 
 
+def _wait_for_devices(max_wait_s=1800, probe_timeout_s=180):
+    """Guard against TPU-relay outages before any jax work starts.
+
+    The bench TPU sits behind a remote relay with observed multi-hour
+    outages during which `jax.devices()` hangs forever inside backend
+    init (uninterruptible in-process).  Probe device init in a SUBPROCESS
+    with a timeout and retry for up to `max_wait_s` so a transient outage
+    delays the bench instead of hanging it; on a persistent outage exit
+    with a clear message rather than leaving the driver a silent hang.
+
+    Knobs: SPACER_BENCH_DEVICE_WAIT_S (0 disables the probe entirely —
+    CPU smoke tests don't need it and call the bench functions directly).
+    """
+    import os
+    import subprocess
+    import sys
+
+    max_wait_s = int(os.environ.get("SPACER_BENCH_DEVICE_WAIT_S",
+                                    max_wait_s))
+    if max_wait_s <= 0:
+        return
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print('PLATFORM=' + jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0 and "PLATFORM=" in r.stdout:
+                plat = r.stdout.split("PLATFORM=")[-1].strip()
+                print(f"# devices ready: {plat}", flush=True)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(f"# ERROR: no jax device after {max_wait_s}s "
+                  f"({attempt} probe attempts) — TPU relay appears down; "
+                  "re-run bench.py when it recovers", flush=True)
+            sys.exit(3)
+        print(f"# device probe attempt {attempt} failed; retrying in 30s",
+              flush=True)
+        time.sleep(30)
+
+
 def main(mode="all"):
+    _wait_for_devices()
     if mode == "encode":
         print(json.dumps(bench_encode()))
         return

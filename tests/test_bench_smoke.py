@@ -58,3 +58,48 @@ def test_bench_serving_smoke():
     )
     _check(result)
     assert result["requests"] == 4
+
+
+def test_device_wait_disabled(monkeypatch):
+    # SPACER_BENCH_DEVICE_WAIT_S=0 must short-circuit without spawning any
+    # probe subprocess (the CPU test env's subprocesses would hang on the
+    # axon plugin)
+    import subprocess
+
+    monkeypatch.setenv("SPACER_BENCH_DEVICE_WAIT_S", "0")
+
+    def boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("probe subprocess spawned despite WAIT_S=0")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    bench._wait_for_devices()
+
+
+def test_device_wait_success(monkeypatch):
+    import subprocess
+    import types
+
+    monkeypatch.setenv("SPACER_BENCH_DEVICE_WAIT_S", "60")
+    calls = []
+
+    def fake_run(*a, **k):
+        calls.append(a)
+        return types.SimpleNamespace(returncode=0, stdout="PLATFORM=cpu\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._wait_for_devices()
+    assert len(calls) == 1
+
+
+def test_device_wait_persistent_outage_exits(monkeypatch):
+    import subprocess
+
+    monkeypatch.setenv("SPACER_BENCH_DEVICE_WAIT_S", "1")
+
+    def fake_run(*a, timeout=None, **k):
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=timeout)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(SystemExit) as e:
+        bench._wait_for_devices(max_wait_s=1)
+    assert e.value.code == 3
