@@ -135,8 +135,13 @@ class QwenEngine:
 
         Cmax = max(128, -(-max_new // 128) * 128)
         key = (Pmax, Cmax, round(float(temperature), 6), slots, chunk_steps)
-        if key not in self._batchers:
-            # bound resident KV: drop older geometries beyond 4
+        if key in self._batchers:
+            # LRU touch: with >4 geometries cycling per wave a plain-FIFO
+            # eviction would rebuild (KV realloc + recompile) the geometry
+            # it is about to reuse on every call
+            self._batchers[key] = self._batchers.pop(key)
+        else:
+            # bound resident KV: drop the least-recently-used beyond 4
             while len(self._batchers) >= 4:
                 self._batchers.pop(next(iter(self._batchers)))
             dtype = self.params["model"]["embed_tokens"]["embedding"].dtype

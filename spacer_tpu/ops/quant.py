@@ -92,3 +92,19 @@ def quantize_tree_int8(tree: Params,
         return node
 
     return walk(tree, False)
+
+
+def quantize_decode_weights(layer_params: Params, lm_head: Params | None):
+    """int8-quantize the decode-path weights in one place: the stacked
+    decoder-layer tree plus (when untied) the lm_head dense.
+
+    Shared by all three decode paths — the grouped sampler loop
+    (sampler/sampler.py), the compacting engine (sampler/compacting.py)
+    and the serving batcher (serving/batcher.py) — so what "int8 weights"
+    means (incl. the MoE router/expert skip list) cannot silently diverge
+    between them.  Returns (layer_params_q, lm_head_q-or-None).
+    """
+    layer_params = quantize_tree_int8(layer_params)
+    if lm_head is not None:
+        lm_head = quantize_dense_int8(lm_head)
+    return layer_params, lm_head

@@ -49,17 +49,14 @@ from spacer_tpu.sampler import sampler as _s
 def _quantize_params(params, decode_quant):
     layer_params = params["model"]["layers"]
     if decode_quant in ("int8", "int8_kv"):
-        from spacer_tpu.ops.quant import (
-            quantize_dense_int8,
-            quantize_tree_int8,
-        )
+        from spacer_tpu.ops.quant import quantize_decode_weights
 
-        layer_params = quantize_tree_int8(layer_params)
-        head = params["model"].get("lm_head")
-        if head is not None:
+        layer_params, head_q = quantize_decode_weights(
+            layer_params, params["model"].get("lm_head"))
+        if head_q is not None:
             params = dict(params)
             params["model"] = dict(params["model"])
-            params["model"]["lm_head"] = quantize_dense_int8(head)
+            params["model"]["lm_head"] = head_q
     return layer_params, params
 
 
@@ -318,9 +315,13 @@ def compacting_decode(
 
         best = None
         for wc in [w >> s_ for s_ in range(w.bit_length())]:
-            padded = int(sum(
-                -(-int(c) // wc) * wc for c in live_counts if c))
-            Np = _pow2_at_most(max(padded, wc), N)
+            n_chunks = int(sum(-(-int(c) // wc) for c in live_counts if c))
+            # power-of-two CHUNK count (not row count): the row total
+            # n_chunks_p2 * wc stays a multiple of wc even when the group
+            # width is not itself a power of two (num_generations=6 gives
+            # widths 6/3/1), while distinct program shapes remain
+            # O(log^2 G) per geometry
+            Np = _pow2_at_most(max(n_chunks, 1), max(N // wc, 1)) * wc
             # fewer rows first; among ties prefer the wider layout (fewer
             # prefix slots to read per step)
             if best is None or (Np, -wc) < (best[0], -best[1]):

@@ -126,16 +126,14 @@ def _decode_loop(
     L = text_cfg.num_layers
     layer_params = params["model"]["layers"]
     if decode_quant in ("int8", "int8_kv"):
-        from spacer_tpu.ops.quant import quantize_tree_int8
+        from spacer_tpu.ops.quant import quantize_decode_weights
 
-        layer_params = quantize_tree_int8(layer_params)
-        head = params["model"].get("lm_head")
-        if head is not None:
-            from spacer_tpu.ops.quant import quantize_dense_int8
-
+        layer_params, head_q = quantize_decode_weights(
+            layer_params, params["model"].get("lm_head"))
+        if head_q is not None:
             params = dict(params)
             params["model"] = dict(params["model"])
-            params["model"]["lm_head"] = quantize_dense_int8(head)
+            params["model"]["lm_head"] = head_q
     layers = split_layers(layer_params, L)
     prefix_split = split_layers((prefix_cache["k"], prefix_cache["v"]), L)
     tail_split = split_layers((tail_cache["k"], tail_cache["v"]), L)
@@ -369,6 +367,16 @@ class Sampler:
             decode_impl if decode_impl is not None
             else os.environ.get("SPACER_DECODE_IMPL") or None
         )
+        # reject typos up front: a misspelled value silently falling back
+        # to the XLA path would make a kernel benchmark measure nothing
+        if self.decode_quant not in (None, "int8", "int8_kv"):
+            raise ValueError(
+                f"unknown decode_quant {self.decode_quant!r} "
+                "(expected None, 'int8' or 'int8_kv')")
+        if self.decode_impl not in (None, "xla", "flash", "flash_ref"):
+            raise ValueError(
+                f"unknown decode_impl {self.decode_impl!r} "
+                "(expected None, 'xla', 'flash' or 'flash_ref')")
 
     def _resolve_decode_impl(self) -> str | None:
         if self.decode_impl in ("xla",):
@@ -458,7 +466,29 @@ class Sampler:
         temp = float(temperature) if temperature is not None else 0.0
         topp = float(top_p) if top_p is not None else 1.0
         stats = None
+        resolved_impl = self._resolve_decode_impl()
+        if resolved_impl == "flash":
+            # Mosaic legality is enforced on real TPU only (interpret mode
+            # passes illegal tilings), so an explicit kernel request with
+            # illegal geometry must fail HERE with a clear message, not die
+            # in Mosaic lowering on the first decode step (the serving
+            # batcher applies the same gate at construction)
+            from spacer_tpu.ops.flash_decode import flash_decode_supported
+
+            GQ = cfg.text.num_heads // cfg.text.num_kv_heads
+            if not flash_decode_supported(
+                    Sb, max_new_tokens, cfg.text.head_dim, GQ):
+                raise ValueError(
+                    f"decode_impl='flash' needs head_dim 128 and "
+                    f"128-multiple buckets; got head_dim="
+                    f"{cfg.text.head_dim}, prompt bucket {Sb}, "
+                    f"max_new_tokens={max_new_tokens}. Use "
+                    f"decode_impl='xla' or adjust the buckets.")
         if compaction:
+            if resolved_impl in ("flash", "flash_ref"):
+                raise ValueError(
+                    "compaction decode has no flash/head-major path; use "
+                    "decode_impl='xla' (or None) with compaction=True")
             from spacer_tpu.sampler.compacting import compacting_decode
 
             tokens, stats = compacting_decode(
@@ -479,7 +509,7 @@ class Sampler:
                 temperature=temp, top_p=topp,
                 eos_token_id=self.eos_token_id, attn_impl=self.attn_impl,
                 decode_quant=self.decode_quant,
-                decode_impl=self._resolve_decode_impl(),
+                decode_impl=resolved_impl,
             )
         tokens = np.asarray(tokens)
         mask = completion_mask_from_ids(tokens, self.eos_token_id)

@@ -269,12 +269,16 @@ class ContinuousBatcher:
                         f"{cfg.text.head_dim}, prompt_len={prompt_len}, "
                         f"max_new_tokens={max_new_tokens}. Use "
                         f"decode_impl='xla' or adjust the buckets.")
-        else:
+        elif decode_impl in (None, "xla"):
             # auto = XLA: the fused ring kernel is opt-in until an on-chip
             # measurement shows it beating the einsum path (see
             # Sampler._resolve_decode_impl for the grouped-kernel numbers
             # that motivated this default)
             resolved = None
+        else:
+            raise ValueError(
+                f"unknown decode_impl {decode_impl!r} "
+                "(expected None, 'xla', 'flash' or 'flash_ref')")
         self.head_major = resolved in ("flash", "flash_ref")
         self.use_kernel = resolved == "flash"
         self.eos = eos_token_id if eos_token_id is not None \
@@ -287,17 +291,20 @@ class ContinuousBatcher:
         self.chunk_steps = chunk_steps
         self.dtype = dtype
 
+        if decode_quant not in (None, "int8", "int8_kv"):
+            raise ValueError(
+                f"unknown decode_quant {decode_quant!r} "
+                "(expected None, 'int8' or 'int8_kv')")
         layer_params = params["model"]["layers"]
         other = {k: v for k, v in params["model"].items() if k != "layers"}
         if decode_quant in ("int8", "int8_kv"):
-            from spacer_tpu.ops.quant import (
-                quantize_dense_int8, quantize_tree_int8)
+            from spacer_tpu.ops.quant import quantize_decode_weights
 
-            layer_params = jax.jit(quantize_tree_int8)(layer_params)
-            if "lm_head" in other:
+            layer_params, head_q = jax.jit(quantize_decode_weights)(
+                layer_params, other.get("lm_head"))
+            if head_q is not None:
                 other = dict(other)
-                other["lm_head"] = jax.jit(quantize_dense_int8)(
-                    other["lm_head"])
+                other["lm_head"] = head_q
         self.layer_params = layer_params
         self.other_params = other
 
@@ -350,7 +357,8 @@ class ContinuousBatcher:
         mask = np.asarray(req["attention_mask"])
         pos = np.asarray(req["position_ids"])
         delta = int(np.asarray(req.get("deltas", 0)).reshape(-1)[0])
-        assert ids.shape[0] == 1, "one prompt per request"
+        if ids.shape[0] != 1:
+            raise ValueError("one prompt per request")
         if int(ids.max()) >= self.cfg.text.vocab_size:
             raise ValueError(
                 f"input_ids contain id {int(ids.max())} >= vocab_size "
@@ -369,6 +377,14 @@ class ContinuousBatcher:
                 [np.ones((3, 1, pad), pos.dtype), pos], 2)
             delta -= pad
         return ids, mask, pos, delta
+
+    def validate_request(self, req: dict) -> None:
+        """Host-side validation of a single request (prompt shape, vocab
+        range, bucket fit) — raises ValueError without touching device
+        state.  The online ServingLoop calls this at submit() time so one
+        malformed request fails alone; any error past admission is treated
+        as device-state corruption and kills the loop."""
+        self._pad_request(req)
 
     def _admit_wave(self, admissions: list):
         """Admit [(req, budget, slot), ...] in ONE program.  The wave pads

@@ -65,6 +65,11 @@ class ServingLoop:
 
     def submit(self, request: dict,
                max_new_tokens: Optional[int] = None) -> _Pending:
+        # validate on the CALLER's thread: a malformed request (OOV ids,
+        # over-bucket prompt) raises here and fails alone, instead of
+        # raising inside the loop thread's admission wave where any error
+        # is treated as device-state corruption and kills the whole server
+        self.batcher.validate_request(request)
         pending = _Pending()
         budget = self.batcher.budget_of(request, max_new_tokens)
         with self._cv:
@@ -208,8 +213,11 @@ class OpenAIServer:
                      f"this deployment's bucket {self.prompt_len}")
         if max_tokens:
             req["max_new_tokens"] = int(max_tokens)
-        served = self.loop.result(self.loop.submit(req),
-                                  timeout=self.request_timeout)
+        try:
+            pending = self.loop.submit(req)
+        except ValueError as e:
+            raise _HttpError(400, str(e))
+        served = self.loop.result(pending, timeout=self.request_timeout)
         text = self.processor.tokenizer.batch_decode(
             [np.asarray(served.sequences[:served.length])],
             skip_special_tokens=True,

@@ -169,8 +169,13 @@ class SGRLVRTrainer:
         )
         # pixel wire dtype: ship bf16 only when the patch embed actually
         # runs in bf16 params (otherwise the cast would silently degrade
-        # vision input precision on f32 parity/debug runs)
-        embed_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        # vision input precision on f32 parity/debug runs).  Infer from the
+        # VISION tower (both families root it at params["visual"]) — a
+        # mixed-precision checkpoint (bf16 LM + f32 vision or vice versa)
+        # must not take its wire dtype from an unrelated LM leaf.
+        vis_tree = params.get("visual", params) if isinstance(params, dict) \
+            else params
+        embed_dtype = jax.tree_util.tree_leaves(vis_tree)[0].dtype
         self._pixel_cast = (
             jnp.bfloat16 if embed_dtype == jnp.bfloat16 else None
         )

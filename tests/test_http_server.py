@@ -132,6 +132,32 @@ def test_prompt_too_long_is_413(server):
     assert "bucket" in out["error"]
 
 
+def test_malformed_request_fails_alone(server):
+    """A request that fails host-side validation (out-of-vocab ids) must
+    be rejected at submit time — NOT kill the serving loop, which treats
+    any error past admission as device-state corruption."""
+    import numpy as np
+
+    srv, port = server
+    vocab = srv.cfg.text.vocab_size
+    bad = {
+        "input_ids": np.array([[vocab + 5, 3, 4]], np.int32),
+        "attention_mask": np.ones((1, 3), np.int32),
+        "position_ids": np.broadcast_to(
+            np.arange(3)[None, None], (3, 1, 3)).astype(np.int32),
+    }
+    with pytest.raises(ValueError, match="vocab_size"):
+        srv.loop.submit(bad)
+    # the loop survived: a well-formed HTTP request still completes
+    status, out = _post(port, "/v1/chat/completions", {
+        "model": "tiny",
+        "messages": [{"role": "user", "content": "still alive?"}],
+        "max_tokens": 4,
+    })
+    assert status == 200
+    assert out["choices"][0]["finish_reason"] in ("stop", "length")
+
+
 def test_unknown_route_404(server):
     _, port = server
     status, out = _post(port, "/v1/embeddings", {"input": "x"})

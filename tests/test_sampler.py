@@ -158,3 +158,53 @@ def test_out_of_vocab_ids_rejected():
     with pytest.raises(ValueError, match="vocab_size"):
         b.run([{"input_ids": ids, "attention_mask": mask,
                 "position_ids": pos, "deltas": deltas}])
+
+
+def test_decode_knob_validation():
+    """Typos in decode_impl/decode_quant must raise, not silently fall
+    back to the XLA/bf16 paths (a benchmark would measure nothing); an
+    explicit 'flash' with Mosaic-illegal geometry must fail with a clear
+    message at the library boundary, not deep in kernel lowering; and
+    compaction (no head-major path) must reject flash impls."""
+    import pytest
+
+    from spacer_tpu.models.qwen25_vl import init_params, tiny_config
+    from spacer_tpu.sampler import Sampler
+    from spacer_tpu.serving import ContinuousBatcher
+
+    cfg = tiny_config()
+    with pytest.raises(ValueError, match="decode_impl"):
+        Sampler(cfg, decode_impl="falsh")
+    with pytest.raises(ValueError, match="decode_quant"):
+        Sampler(cfg, decode_quant="int4")
+
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    ids = np.full((1, 4), 7, np.int32)
+    mask = np.ones((1, 4), np.int32)
+    pos = np.broadcast_to(np.arange(4)[None, None], (3, 1, 4)).astype(
+        np.int32)
+    deltas = np.zeros((1, 1), np.int32)
+
+    # tiny cfg has head_dim != 128: explicit flash is Mosaic-illegal
+    s = Sampler(cfg, eos_token_id=-1, length_bucket=8, decode_impl="flash")
+    with pytest.raises(ValueError, match="head_dim 128"):
+        s.generate(ids, mask, params, position_ids=pos, deltas=deltas,
+                   num_generations=1, max_new_tokens=2, temperature=0.0)
+
+    s_ref = Sampler(cfg, eos_token_id=-1, length_bucket=8,
+                    decode_impl="flash_ref")
+    with pytest.raises(ValueError, match="compaction"):
+        s_ref.generate(ids, mask, params, position_ids=pos, deltas=deltas,
+                       num_generations=1, max_new_tokens=2, temperature=0.0,
+                       compaction=True)
+
+    with pytest.raises(ValueError, match="decode_impl"):
+        ContinuousBatcher(cfg, params, slots=1, prompt_len=8,
+                          max_new_tokens=2, eos_token_id=-1,
+                          temperature=0.0, dtype=jnp.float32,
+                          decode_impl="falsh")
+    with pytest.raises(ValueError, match="decode_quant"):
+        ContinuousBatcher(cfg, params, slots=1, prompt_len=8,
+                          max_new_tokens=2, eos_token_id=-1,
+                          temperature=0.0, dtype=jnp.float32,
+                          decode_quant="int4")

@@ -82,6 +82,33 @@ def test_compacting_compacts_and_survives_bucket_growth():
         assert got.stats["final_rows"] < B * G
 
 
+def test_compacting_non_pow2_group_width():
+    """num_generations=6: candidate widths 6/3/1 are not powers of two, so
+    the planner must keep row totals multiples of the width (a pow2 ROW
+    rounding indexed past the plan arrays and crashed mid-rollout)."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(3), cfg, jnp.float32)
+    B, G, S, C = 2, 6, 16, 48
+    ids, mask, pos, deltas = _prompts(cfg, B, S, seed=7)
+
+    probe_sampler = Sampler(cfg, eos_token_id=-1, length_bucket=16)
+    probe = _gen(probe_sampler, params, ids, mask, pos, deltas, G, C)
+    vals, counts = np.unique(probe.sequences[:, 2:12], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+
+    ref_sampler = Sampler(cfg, eos_token_id=eos, length_bucket=16)
+    ref = _gen(ref_sampler, params, ids, mask, pos, deltas, G, C)
+    got = _gen(ref_sampler, params, ids, mask, pos, deltas, G, C,
+               compaction=True, chunk_steps=4)
+
+    np.testing.assert_array_equal(got.lengths, ref.lengths)
+    np.testing.assert_array_equal(
+        got.sequences * got.completion_mask,
+        ref.sequences * ref.completion_mask)
+    if len(set(ref.lengths.tolist())) > 1:
+        assert got.stats["compactions"] >= 1
+
+
 def test_compacting_int8_kv_runs():
     """Quantized caches ride through compaction gathers (4-tuple entries)."""
     cfg = tiny_config()

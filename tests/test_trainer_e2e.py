@@ -149,3 +149,28 @@ def test_merged_temporal_rollout_matches_sequential(video_path, tmp_path):
         assert mm[k] == ms[k], (k, mm[k], ms[k])
     np.testing.assert_allclose(
         float(met_m["loss"]), float(met_s["loss"]), rtol=1e-6, atol=1e-7)
+
+
+def test_pixel_cast_follows_vision_tower_dtype(tmp_path):
+    """The pixel wire dtype must follow the VISION tower's param dtype —
+    a mixed-precision checkpoint (bf16 LM + f32 vision) previously took
+    it from the alphabetically-first LM leaf and silently degraded
+    vision-input precision on f32 vision towers."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    tok = MockTokenizer(vocab_size=cfg.text.vocab_size)
+    proc = VLProcessor(tok, cfg, min_pixels=3136, max_pixels=401408)
+    args = SGRLVRConfig(num_generations=2, max_steps=1, beta=0.0,
+                        output_dir=str(tmp_path / "out"))
+
+    bf16_lm = dict(params)
+    bf16_lm["model"] = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), params["model"])
+    tr = SGRLVRTrainer(cfg, bf16_lm, proc, [], [], args)
+    assert tr._pixel_cast is None  # vision tower is f32: no bf16 wire cast
+
+    bf16_vis = dict(params)
+    bf16_vis["visual"] = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), params["visual"])
+    tr2 = SGRLVRTrainer(cfg, bf16_vis, proc, [], [], args)
+    assert tr2._pixel_cast == jnp.bfloat16
