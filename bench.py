@@ -824,6 +824,96 @@ def bench_serving(slots=8, n_requests=32, P_len=1024, Cmax=1024, *,
     }
 
 
+def bench_speculative(slots=8, n_requests=16, P_len=1024, Cmax=512,
+                      k=3, *, cfg=None):
+    """Greedy serving throughput with vs without prompt-lookup speculative
+    decoding (serving/speculative.py), same requests and token counts.
+
+    eos never fires, so both paths emit exactly n_requests*Cmax tokens —
+    the speedup isolates the mechanics (block verification vs one token
+    per step).  ACCEPTANCE IS WORKLOAD-DEPENDENT: random-weight models
+    loop under greedy decoding, so the measured acceptance here is the
+    self-repetition regime (reported in the JSON); real CoT eval decodes
+    (quoting options/question text) sit in a similar regime, arbitrary
+    text sits lower.  cfg exists only for the CPU smoke test.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from spacer_tpu.models.qwen25_vl.config import (
+        Qwen25VLConfig, TextConfig, VisionConfig,
+    )
+    from spacer_tpu.models.qwen25_vl import init_params
+    from spacer_tpu.serving import ContinuousBatcher
+
+    if cfg is None:
+        cfg = Qwen25VLConfig(
+            text=TextConfig(
+                vocab_size=49152, hidden_size=2048, intermediate_size=8192,
+                num_layers=12, num_heads=16, num_kv_heads=4,
+                mrope_section=(16, 24, 24),
+            ),
+            vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
+                                out_hidden_size=2048),
+            image_token_id=49149, video_token_id=49150,
+            vision_start_token_id=49148, vision_end_token_id=49151,
+        )
+    params = jax.jit(
+        lambda key: init_params(key, cfg, jnp.bfloat16)
+    )(jax.random.key(0))
+    jax.block_until_ready(params)
+    print("# speculative init done", flush=True)
+
+    rng = np.random.default_rng(0)
+    id_hi = min(49000, cfg.text.vocab_size - 8)
+    reqs = []
+    for i in range(n_requests):
+        ids = rng.integers(10, id_hi, size=(1, P_len)).astype(np.int32)
+        reqs.append({
+            "input_ids": ids,
+            "attention_mask": np.ones((1, P_len), np.int32),
+            "position_ids": np.broadcast_to(
+                np.arange(P_len)[None, None], (3, 1, P_len)
+            ).astype(np.int32),
+            "deltas": np.zeros((1, 1), np.int32),
+        })
+    total_tokens = n_requests * Cmax
+
+    def run(spec_k):
+        b = ContinuousBatcher(
+            cfg, params, slots=slots, prompt_len=P_len,
+            max_new_tokens=Cmax, eos_token_id=-1, temperature=0.0,
+            chunk_steps=64, speculate_k=spec_k,
+        )
+        outs = b.run(reqs)
+        assert sum(o.length for o in outs) == total_tokens
+        return b
+
+    for spec_k in (0, k):
+        run(spec_k)  # compile
+    print("# speculative compiled", flush=True)
+    t0 = time.perf_counter()
+    run(0)
+    dt_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    b = run(k)
+    dt_spec = time.perf_counter() - t0
+    stats = b.spec_stats
+    acceptance = stats["tokens"] / max(stats["steps"], 1)
+
+    return {
+        "metric": "speculative_greedy_tokens_per_sec",
+        "value": round(total_tokens / dt_spec, 1),
+        "unit": "tokens/sec",
+        "vs_baseline": round(dt_plain / dt_spec, 3),  # speedup over plain
+        "plain_tokens_per_sec": round(total_tokens / dt_plain, 1),
+        "acceptance_tokens_per_step": round(acceptance, 3),
+        "speculate_k": k, "slots": slots, "requests": n_requests,
+        "prompt_len": P_len, "max_new_tokens": Cmax,
+        "acceptance_regime": "random-weight self-repetition (synthetic)",
+    }
+
+
 def _wait_for_devices(max_wait_s=1800, probe_timeout_s=180):
     """Guard against TPU-relay outages before any jax work starts.
 
@@ -887,6 +977,9 @@ def main(mode="all"):
         return
     if mode == "rollout_waste":
         print(json.dumps(bench_rollout_waste()))
+        return
+    if mode == "speculative":
+        print(json.dumps(bench_speculative()))
         return
     # default headline: the full RL iteration (rollout + update), plus the
     # preprocess+encode throughput as a secondary field

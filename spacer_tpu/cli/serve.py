@@ -52,6 +52,9 @@ class ServeConfig:
     host: str = "127.0.0.1"
     port: int = 8000
     prompt_len: int = 1024        # http mode: the deployment prompt bucket
+    # greedy prompt-lookup speculative decoding: draft tokens verified per
+    # step (serving/speculative.py); needs --temperature 0
+    speculate_k: int = 0
 
 
 def _row_to_messages(row: dict) -> list:
@@ -87,6 +90,7 @@ def main(argv=None):
             chunk_steps=serve_cfg.chunk_steps,
             decode_quant=model_args.decode_quant or None,
             decode_impl=model_args.decode_impl or None,
+            speculate_k=serve_cfg.speculate_k,
         )
         print(f"serving {model_args.model_name_or_path or 'model'} on "
               f"http://{serve_cfg.host}:{serve_cfg.port}/v1", flush=True)
@@ -94,7 +98,8 @@ def main(argv=None):
         return
     engine = QwenEngine(cfg, params, processor, top_p=serve_cfg.top_p,
                         decode_quant=model_args.decode_quant or None,
-                        decode_impl=model_args.decode_impl or None)
+                        decode_impl=model_args.decode_impl or None,
+                        speculate_k=serve_cfg.speculate_k)
 
     with open(serve_cfg.input_file) as f:
         rows = [json.loads(line) for line in f if line.strip()]

@@ -23,7 +23,8 @@ class QwenEngine:
     def __init__(self, cfg, params, processor, attn_impl=None,
                  length_bucket: int = 512, top_p: float = 1.0, seed: int = 0,
                  decode_quant: str | None = None,
-                 decode_impl: str | None = None):
+                 decode_impl: str | None = None,
+                 speculate_k: int = 0):
         from spacer_tpu.sampler import Sampler
 
         self.cfg = cfg
@@ -31,6 +32,10 @@ class QwenEngine:
         self.processor = processor
         self.top_p = top_p
         self.seed = seed
+        # greedy prompt-lookup speculation for generate_many
+        # (serving/speculative.py); requires temperature=0 calls — the
+        # batcher rejects the combination otherwise
+        self.speculate_k = int(speculate_k)
         self._calls = 0
         self._batchers: dict = {}   # geometry key -> ContinuousBatcher
         self.sampler = Sampler(
@@ -134,7 +139,8 @@ class QwenEngine:
         from spacer_tpu.serving import ContinuousBatcher
 
         Cmax = max(128, -(-max_new // 128) * 128)
-        key = (Pmax, Cmax, round(float(temperature), 6), slots, chunk_steps)
+        key = (Pmax, Cmax, round(float(temperature), 6), slots, chunk_steps,
+               self.speculate_k)
         if key in self._batchers:
             # LRU touch: with >4 geometries cycling per wave a plain-FIFO
             # eviction would rebuild (KV realloc + recompile) the geometry
@@ -155,6 +161,7 @@ class QwenEngine:
                 seed=self.seed + self._calls, dtype=dtype,
                 decode_quant=self.sampler.decode_quant,
                 decode_impl=self.sampler.decode_impl,
+                speculate_k=self.speculate_k,
             )
         return self._batchers[key]
 

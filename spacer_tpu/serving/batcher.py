@@ -143,6 +143,7 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
     return {
         "caches": tuple(caches),
         "pmask": at(state["pmask"], prompt_mask),
+        "pids": at(state["pids"], input_ids.astype(jnp.int32)),
         "delta": at(state["delta"], delta),
         "admit": at(state["admit"],
                     jnp.broadcast_to(state["clock"], (B,))),
@@ -153,6 +154,7 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
         "maxnew": at(state["maxnew"], max_new),
         "out": at(state["out"], out_rows),
         "clock": state["clock"],
+        "spec": state["spec"],
         "rng": rng,
     }
 
@@ -213,9 +215,11 @@ def _chunk_jit(state, layer_params, other_params, *, text_cfg, chunk_steps,
     _, caches, cur, t, done, out, clock, rng = jax.lax.while_loop(
         cond, body, init)
     return {
-        "caches": caches, "pmask": state["pmask"], "delta": state["delta"],
+        "caches": caches, "pmask": state["pmask"], "pids": state["pids"],
+        "delta": state["delta"],
         "admit": state["admit"], "cur": cur, "t": t, "done": done,
-        "maxnew": state["maxnew"], "out": out, "clock": clock, "rng": rng,
+        "maxnew": state["maxnew"], "out": out, "clock": clock,
+        "spec": state["spec"], "rng": rng,
     }
 
 
@@ -235,6 +239,7 @@ class ContinuousBatcher:
                  attn_impl: Optional[str] = None,
                  decode_quant: Optional[str] = None,
                  decode_impl: Optional[str] = None,
+                 speculate_k: int = 0,
                  chunk_steps: int = 32, seed: int = 0,
                  dtype=jnp.bfloat16):
         from spacer_tpu.models.registry import family_for_config
@@ -295,6 +300,23 @@ class ContinuousBatcher:
             raise ValueError(
                 f"unknown decode_quant {decode_quant!r} "
                 "(expected None, 'int8' or 'int8_kv')")
+        # speculative decoding (serving/speculative.py): greedy-only v1
+        # over the position-major bf16/f32 caches
+        self.speculate_k = int(speculate_k)
+        if self.speculate_k:
+            if self.temperature > 0.0:
+                raise ValueError(
+                    "speculate_k needs greedy decoding (temperature=0): "
+                    "acceptance under sampling requires a rejection-"
+                    "sampling correction this engine does not implement")
+            if decode_quant == "int8_kv":
+                raise ValueError(
+                    "speculate_k does not support int8_kv caches yet "
+                    "(block writes carry per-position scales)")
+            if self.head_major:
+                raise ValueError(
+                    "speculate_k uses the position-major cache layout; "
+                    "drop decode_impl='flash'/'flash_ref'")
         layer_params = params["model"]["layers"]
         other = {k: v for k, v in params["model"].items() if k != "layers"}
         if decode_quant in ("int8", "int8_kv"):
@@ -337,6 +359,7 @@ class ContinuousBatcher:
         self.state = {
             "caches": tuple(mk_entry() for _ in range(tc.num_layers)),
             "pmask": jnp.zeros((self.R, self.Pmax), jnp.int32),
+            "pids": jnp.zeros((self.R, self.Pmax), jnp.int32),
             "delta": jnp.zeros((self.R,), jnp.int32),
             "admit": jnp.zeros((self.R,), jnp.int32),
             "cur": jnp.zeros((self.R,), jnp.int32),
@@ -345,6 +368,9 @@ class ContinuousBatcher:
             "maxnew": jnp.zeros((self.R,), jnp.int32),
             "out": jnp.zeros((self.R, self.Cmax), jnp.int32),
             "clock": jnp.int32(0),
+            # [speculative steps run, tokens emitted by them] — the
+            # acceptance telemetry for speculate_k > 0 (spec_stats)
+            "spec": jnp.zeros((2,), jnp.int32),
             "rng": jax.random.key(seed),
         }
         self._slot_req: list[Optional[int]] = [None] * self.R
@@ -449,13 +475,31 @@ class ContinuousBatcher:
                           for _tag, req, budget, slot in admissions])
 
     def decode_chunk(self) -> None:
-        """Run up to chunk_steps ring decode steps (one program)."""
+        """Run up to chunk_steps decode steps (one program): clock-ring
+        single-token steps, or speculative block steps (speculate_k)."""
+        if self.speculate_k:
+            from spacer_tpu.serving.speculative import spec_chunk_jit
+
+            self.state = spec_chunk_jit(
+                self.state, self.layer_params, self.other_params,
+                text_cfg=self.cfg.text, chunk_steps=self.chunk_steps,
+                speculate_k=self.speculate_k, eos_token_id=self.eos,
+                pad_token_id=self.pad)
+            return
         self.state = _chunk_jit(
             self.state, self.layer_params, self.other_params,
             chunk_steps=self.chunk_steps, head_major=self.head_major,
             use_kernel=self.use_kernel, text_cfg=self.cfg.text,
             temperature=self.temperature, top_p=self.top_p,
             eos_token_id=self.eos)
+
+    @property
+    def spec_stats(self) -> dict:
+        """{'steps', 'tokens'} emitted by speculative block steps —
+        tokens/steps is the measured acceptance rate (incl. the bonus
+        token; 1.0 means speculation never helped)."""
+        steps, tokens = (int(x) for x in np.asarray(self.state["spec"]))
+        return {"steps": steps, "tokens": tokens}
 
     def poll_finished(self) -> list:
         """Collect (tag, ServedOutput) for slots that finished; frees them.

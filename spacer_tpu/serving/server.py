@@ -180,6 +180,7 @@ class OpenAIServer:
                  top_p: float = 1.0, chunk_steps: int = 16,
                  decode_quant: Optional[str] = None,
                  decode_impl: Optional[str] = None,
+                 speculate_k: int = 0,
                  request_timeout: float = 600.0, dtype=None):
         from spacer_tpu.serving.batcher import ContinuousBatcher
 
@@ -197,7 +198,8 @@ class OpenAIServer:
             eos_token_id=processor.eos_token_id,
             pad_token_id=processor.pad_token_id,
             temperature=temperature, top_p=top_p, chunk_steps=chunk_steps,
-            decode_quant=decode_quant, decode_impl=decode_impl, dtype=dtype,
+            decode_quant=decode_quant, decode_impl=decode_impl,
+            speculate_k=speculate_k, dtype=dtype,
         )
         self.loop = ServingLoop(self.batcher)
         self._httpd: Optional[ThreadingHTTPServer] = None

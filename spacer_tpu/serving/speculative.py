@@ -1,0 +1,289 @@
+"""Greedy speculative decoding (prompt-lookup drafts) for the continuous
+batcher.
+
+Role parity and beyond: the reference's serving engine (vLLM 0.7.2,
+vllm_grpo_trainer_modified.py:359-384) ships n-gram "prompt lookup"
+speculative decoding as an experimental flag; the eval harness decodes up
+to 1024 "thinking" tokens per sample at temperature 0.01 (evaluate.py:
+106-118) — an effectively greedy, highly self-referential workload
+(answers quote the question/options) where lookup drafts are cheap and
+verification is exact.
+
+Design (TPU-first, scatter-free):
+
+  Each step processes a BLOCK of kb = 1 + speculate_k tokens per row:
+  the row's current token plus speculate_k draft tokens proposed by the
+  most recent bigram match in that row's own context (prompt + emitted
+  tokens, both already on device).  One forward over the block yields
+  greedy predictions for every block position; the accepted prefix is
+  the longest run where pred[i] == draft[i], plus the first correction
+  as a bonus token — so every step emits between 1 and kb tokens and
+  greedy outputs are BIT-IDENTICAL to the sequential loop by
+  construction (verification IS the sequential rule).
+
+  KV writes: block i's KV belongs at tail slot t-1+i (per-row offset).
+  Instead of the clock ring (whose lockstep global write index cannot
+  express per-row acceptance) or a scatter (slow on TPU), the block is
+  written with a one-hot matmul over the tail axis — a predictable
+  full-tail rewrite that XLA fuses, costing about one extra tail read
+  per layer per step.  Rejected slots hold stale drafts, and that is
+  safe by the same overwrite-before-read argument as the clock ring
+  (serving/ragged.py): the read mask `slot < t + i` never admits a slot
+  past the accepted frontier, and the NEXT step's block starts exactly
+  at the first stale slot (w' = t'-1 = t+a-1), overwriting all k-a
+  stale entries before any mask can expose them.
+
+  The tail read mask collapses from the ring-window arithmetic to a
+  plain per-row prefix `arange(Cmax) < t + i` (block-causal within the
+  step), because writes are positionally indexed rather than
+  clock-indexed.  Admission (prefill + slot insert) is shared with the
+  ring batcher unchanged.
+
+v1 scope: greedy only (temperature == 0 — acceptance under sampling
+needs the rejection-sampling correction), bf16/f32 caches (no int8),
+position-major cache layout (no flash/head-major).  The batcher
+validates these at construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from spacer_tpu.models.qwen25_vl.config import TextConfig
+from spacer_tpu.models.qwen25_vl.language import _mlp_block, split_layers
+from spacer_tpu.nn.core import dense, embed, rms_norm
+from spacer_tpu.nn.rope import apply_rope, mrope_cos_sin, rope_inv_freq
+
+
+def _write_block(tail, blk, w):
+    """Per-row block insert without scatter: tail (R, Cmax, Hkv, Dh),
+    blk (R, kb, Hkv, Dh), w (R,) start slot per row.  Slots >= Cmax are
+    silently dropped (they can never be accepted: t is capped by the
+    budget, which is capped by Cmax)."""
+    Cmax = tail.shape[1]
+    kb = blk.shape[1]
+    iota = jnp.arange(Cmax)
+    onehot = (iota[None, None, :]
+              == (w[:, None] + jnp.arange(kb))[:, :, None])  # (R, kb, C)
+    covered = onehot.any(axis=1)  # (R, Cmax)
+    upd = jnp.einsum("rkc,rkhd->rchd", onehot.astype(tail.dtype),
+                     blk.astype(tail.dtype))
+    return jnp.where(covered[:, :, None, None], upd, tail)
+
+
+def _spec_layer(h, layer_params, cache_entry, *, cfg: TextConfig, cos, sin,
+                w, prefix_mask, tail_mask):
+    """One decoder layer over a kb-token block per row.
+
+    h: (R, kb, D); cache_entry (pk, pv, tk, tv) in the position-major
+    layout (pk/pv (R, Pmax, Hkv, Dh), tk/tv (R, Cmax, Hkv, Dh)).
+    w: (R,) tail write start (= t - 1).  prefix_mask (R, Pmax);
+    tail_mask (R, kb, Cmax) block-causal: position i reads slot j iff
+    j < t + i (its own just-written KV included, like the ring layer).
+    """
+    R, kb, D = h.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    pk, pv, tk, tv = cache_entry
+    P = pk.shape[1]
+    p_attn = layer_params["self_attn"]
+
+    x = rms_norm(layer_params["input_layernorm"], h, cfg.rms_norm_eps)
+    q = dense(p_attn["q_proj"], x).reshape(R, kb, H, Dh)
+    k = dense(p_attn["k_proj"], x).reshape(R, kb, Hkv, Dh)
+    v = dense(p_attn["v_proj"], x).reshape(R, kb, Hkv, Dh)
+    q, k = apply_rope(q, k, cos, sin)
+
+    tk = _write_block(tk, k, w)
+    tv = _write_block(tv, v, w)
+    new_entry = (pk, pv, tk, tv)
+
+    # same numerical contract as the ring layer: operands in the cache
+    # dtype, f32 accumulation, masking/softmax on the f32 logits
+    scale = Dh ** -0.5
+    group_q = H // Hkv
+    qf = jnp.transpose(q.reshape(R, kb, Hkv, group_q, Dh),
+                       (0, 2, 3, 1, 4))  # (R, Hkv, g, kb, Dh)
+    lp = jnp.einsum("rhgkd,rphd->rhgkp", qf, pk.astype(h.dtype),
+                    preferred_element_type=jnp.float32) * scale
+    lt = jnp.einsum("rhgkd,rthd->rhgkt", qf, tk.astype(h.dtype),
+                    preferred_element_type=jnp.float32) * scale
+    lp = jnp.where(prefix_mask[:, None, None, None, :], lp, -1e30)
+    lt = jnp.where(tail_mask[:, None, None, :, :], lt, -1e30)
+    full = jnp.concatenate([lp, lt], axis=-1)
+    probs = jax.nn.softmax(full, axis=-1)
+    out = (
+        jnp.einsum("rhgkp,rphd->rhgkd", probs[..., :P].astype(h.dtype),
+                   pv.astype(h.dtype), preferred_element_type=jnp.float32)
+        + jnp.einsum("rhgkt,rthd->rhgkd", probs[..., P:].astype(h.dtype),
+                     tv.astype(h.dtype), preferred_element_type=jnp.float32)
+    ).astype(h.dtype)
+    out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(R, kb, H * Dh)
+    h = h + dense(p_attn["o_proj"], out)
+
+    x = rms_norm(layer_params["post_attention_layernorm"], h,
+                 cfg.rms_norm_eps)
+    h = h + _mlp_block(layer_params["mlp"], x, cfg)
+    return h, new_entry
+
+
+def spec_decode_step(layers, params, cfg: TextConfig, toks, pos3, caches,
+                     prefix_mask, t):
+    """One speculative block step -> (logits (R, kb, V), new caches).
+
+    toks: (R, kb) = [cur, draft_1..draft_{kb-1}]; pos3 (3, R, kb) rope
+    positions; t (R,) emitted-token counts (block writes start at t-1).
+    """
+    R, kb = toks.shape
+    Cmax = caches[0][2].shape[1]
+    h = embed(params["embed_tokens"], toks)
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
+    cos, sin = mrope_cos_sin(pos3, inv_freq, cfg.mrope_section)
+
+    # block-causal tail mask: position i sees slots j < t + i
+    iota = jnp.arange(Cmax)
+    tail_mask = (iota[None, None, :]
+                 < (t[:, None] + jnp.arange(kb))[:, :, None])  # (R, kb, C)
+    w = t - 1
+
+    new = []
+    for l in range(cfg.num_layers):
+        h, entry = _spec_layer(
+            h, layers[l], caches[l], cfg=cfg, cos=cos, sin=sin, w=w,
+            prefix_mask=prefix_mask, tail_mask=tail_mask,
+        )
+        new.append(entry)
+
+    h = rms_norm(params["norm"], h, cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        logits = jnp.einsum("rkd,vd->rkv", h,
+                            params["embed_tokens"]["embedding"])
+    else:
+        logits = dense(params["lm_head"], h)
+    return logits, tuple(new)
+
+
+def _build_drafts(pids, pmask, out, cur, t, n_draft: int, pad_token: int):
+    """Prompt-lookup drafts: for each row, find the most recent earlier
+    occurrence of the (prev, cur) bigram in [prompt tokens, emitted
+    tokens] and propose the n_draft tokens that followed it.  No match
+    (or a match running off the known context) drafts pad tokens — the
+    first verification mismatch simply caps acceptance at the guaranteed
+    1 token, so drafting is never wrong, only more or less useful."""
+    R, Pmax = pids.shape
+    Cmax = out.shape[1]
+    PT = Pmax + Cmax
+    ctx = jnp.concatenate([pids, out], axis=1)              # (R, PT)
+    valid = jnp.concatenate(
+        [pmask.astype(bool),
+         jnp.arange(Cmax)[None, :] < t[:, None]], axis=1)   # (R, PT)
+
+    # prev token: out[t-2] when t >= 2, else the last prompt token
+    prev = jnp.where(
+        t >= 2,
+        jnp.take_along_axis(
+            out, jnp.maximum(t - 2, 0)[:, None], axis=1)[:, 0],
+        pids[:, -1],
+    )
+    cur_pos = Pmax + t - 1                                  # index of cur
+    j = jnp.arange(PT)
+    match = (
+        (ctx[:, 1:] == cur[:, None])
+        & (ctx[:, :-1] == prev[:, None])
+        & valid[:, 1:] & valid[:, :-1]
+        & (j[None, 1:] < cur_pos[:, None])                  # strictly earlier
+    )                                                        # (R, PT-1) at j=1..
+    jj = j[None, 1:]
+    best = jnp.max(jnp.where(match, jj, -1), axis=1)        # (R,) or -1
+    has = best >= 0
+
+    # gather the n_draft tokens after the match; clip + validity-mask
+    gidx = best[:, None] + 1 + jnp.arange(n_draft)[None, :]  # (R, n)
+    in_ctx = gidx < cur_pos[:, None] + 1                     # known context only
+    gathered = jnp.take_along_axis(ctx, jnp.clip(gidx, 0, PT - 1), axis=1)
+    drafts = jnp.where(has[:, None] & in_ctx, gathered, pad_token)
+    return drafts.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("text_cfg", "chunk_steps", "speculate_k",
+                     "eos_token_id", "pad_token_id"),
+    donate_argnums=(0,),
+)
+def spec_chunk_jit(state, layer_params, other_params, *, text_cfg,
+                   chunk_steps: int, speculate_k: int, eos_token_id: int,
+                   pad_token_id: int):
+    """Run up to chunk_steps speculative block steps (early exit on
+    all-done).  State schema shared with the ring batcher; `clock`/`admit`
+    pass through untouched (speculation is positionally indexed)."""
+    L = text_cfg.num_layers
+    layers = split_layers(layer_params, L)
+    R, Pmax = state["pmask"].shape
+    Cmax = state["out"].shape[1]
+    kb = 1 + speculate_k
+    pmask = state["pmask"].astype(bool)
+    pids = state["pids"]
+    delta = state["delta"]
+    maxnew = state["maxnew"]
+    rows_k = jnp.arange(kb)
+
+    def body(carry):
+        i, caches, cur, t, done, out, spec, rng = carry
+        was_done = done
+        drafts = _build_drafts(pids, pmask, out, cur, t, speculate_k,
+                               pad_token_id)
+        toks = jnp.concatenate([cur[:, None], drafts], axis=1)  # (R, kb)
+        pos_base = (Pmax + delta + t - 1).astype(jnp.int32)
+        pos3 = jnp.broadcast_to(
+            (pos_base[:, None] + rows_k[None, :])[None], (3, R, kb))
+        logits, caches = spec_decode_step(
+            layers, other_params, text_cfg, toks, pos3, caches, pmask, t)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (R, kb)
+
+        # accepted = leading run where pred[i] == draft[i], plus the first
+        # correction: a in [1, kb] emitted tokens preds[0..a-1]
+        hit = (preds[:, :-1] == drafts).astype(jnp.int32)
+        a = jnp.cumprod(hit, axis=1).sum(axis=1) + 1          # (R,)
+        # cap at the first emitted EOS (inclusive) and the budget
+        is_eos = preds == eos_token_id
+        f = jnp.where(is_eos.any(axis=1),
+                      jnp.argmax(is_eos, axis=1), kb)
+        a = jnp.minimum(a, f + 1)
+        a = jnp.minimum(a, maxnew - t)
+        a = jnp.where(was_done, 0, jnp.maximum(a, 0))
+
+        # out[t + i] = preds[i] for i < a (one-hot, no scatter)
+        iota = jnp.arange(Cmax)
+        sel = ((iota[None, None, :]
+                == (t[:, None] + rows_k[None, :])[:, :, None])
+               & (rows_k[None, :, None] < a[:, None, None]))
+        upd = jnp.einsum("rkc,rk->rc", sel.astype(jnp.int32), preds)
+        out = jnp.where(sel.any(axis=1), upd, out)
+
+        last = jnp.take_along_axis(
+            preds, jnp.maximum(a - 1, 0)[:, None], axis=1)[:, 0]
+        cur = jnp.where(was_done, cur, last)
+        t = t + a
+        done = was_done | (f + 1 <= a) | (t >= maxnew)
+        any_active = jnp.any(~was_done).astype(jnp.int32)
+        spec = spec + jnp.stack(
+            [any_active, a.sum().astype(jnp.int32)])
+        return i + 1, caches, cur, t, done, out, spec, rng
+
+    def cond(carry):
+        i, _, _, _, done, _, _, _ = carry
+        return (i < chunk_steps) & ~jnp.all(done)
+
+    init = (jnp.int32(0), state["caches"], state["cur"], state["t"],
+            state["done"], state["out"], state["spec"], state["rng"])
+    _, caches, cur, t, done, out, spec, rng = jax.lax.while_loop(
+        cond, body, init)
+    return {
+        "caches": caches, "pmask": state["pmask"], "pids": state["pids"],
+        "delta": state["delta"], "admit": state["admit"], "cur": cur,
+        "t": t, "done": done, "maxnew": state["maxnew"], "out": out,
+        "clock": state["clock"], "spec": spec, "rng": rng,
+    }

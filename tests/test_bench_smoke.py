@@ -60,6 +60,14 @@ def test_bench_serving_smoke():
     assert result["requests"] == 4
 
 
+def test_bench_speculative_smoke():
+    result = bench.bench_speculative(
+        slots=2, n_requests=4, P_len=32, Cmax=16, k=2, cfg=tiny_config(),
+    )
+    _check(result)
+    assert result["acceptance_tokens_per_step"] >= 1.0
+
+
 def test_device_wait_disabled(monkeypatch):
     # SPACER_BENCH_DEVICE_WAIT_S=0 must short-circuit without spawning any
     # probe subprocess (the CPU test env's subprocesses would hang on the
