@@ -309,10 +309,6 @@ class ContinuousBatcher:
                     "speculate_k needs greedy decoding (temperature=0): "
                     "acceptance under sampling requires a rejection-"
                     "sampling correction this engine does not implement")
-            if decode_quant == "int8_kv":
-                raise ValueError(
-                    "speculate_k does not support int8_kv caches yet "
-                    "(block writes carry per-position scales)")
             if self.head_major:
                 raise ValueError(
                     "speculate_k uses the position-major cache layout; "

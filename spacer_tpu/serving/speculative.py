@@ -40,9 +40,10 @@ Design (TPU-first, scatter-free):
   ring batcher unchanged.
 
 v1 scope: greedy only (temperature == 0 — acceptance under sampling
-needs the rejection-sampling correction), bf16/f32 caches (no int8),
-position-major cache layout (no flash/head-major).  The batcher
-validates these at construction.
+needs the rejection-sampling correction) and the position-major cache
+layout (no flash/head-major).  int8 weights and int8_kv caches compose:
+the per-(position, head) scales ride the same one-hot block writes.
+The batcher validates the scope at construction.
 """
 
 from __future__ import annotations
@@ -58,20 +59,33 @@ from spacer_tpu.nn.core import dense, embed, rms_norm
 from spacer_tpu.nn.rope import apply_rope, mrope_cos_sin, rope_inv_freq
 
 
+def _block_onehot(Cmax: int, kb: int, w):
+    iota = jnp.arange(Cmax)
+    onehot = (iota[None, None, :]
+              == (w[:, None] + jnp.arange(kb))[:, :, None])  # (R, kb, C)
+    return onehot, onehot.any(axis=1)
+
+
 def _write_block(tail, blk, w):
     """Per-row block insert without scatter: tail (R, Cmax, Hkv, Dh),
     blk (R, kb, Hkv, Dh), w (R,) start slot per row.  Slots >= Cmax are
     silently dropped (they can never be accepted: t is capped by the
-    budget, which is capped by Cmax)."""
-    Cmax = tail.shape[1]
-    kb = blk.shape[1]
-    iota = jnp.arange(Cmax)
-    onehot = (iota[None, None, :]
-              == (w[:, None] + jnp.arange(kb))[:, :, None])  # (R, kb, C)
-    covered = onehot.any(axis=1)  # (R, Cmax)
-    upd = jnp.einsum("rkc,rkhd->rchd", onehot.astype(tail.dtype),
-                     blk.astype(tail.dtype))
-    return jnp.where(covered[:, :, None, None], upd, tail)
+    budget, which is capped by Cmax).  int8 codes accumulate exactly in
+    f32 (one nonzero per output slot, values <= 127)."""
+    onehot, covered = _block_onehot(tail.shape[1], blk.shape[1], w)
+    acc = jnp.float32 if tail.dtype == jnp.int8 else tail.dtype
+    upd = jnp.einsum("rkc,rkhd->rchd", onehot.astype(acc), blk.astype(acc))
+    return jnp.where(covered[:, :, None, None], upd.astype(tail.dtype),
+                     tail)
+
+
+def _write_block_scales(sc, blk_sc, w):
+    """Scale companion of _write_block: sc (R, Cmax, Hkv),
+    blk_sc (R, kb, Hkv)."""
+    onehot, covered = _block_onehot(sc.shape[1], blk_sc.shape[1], w)
+    upd = jnp.einsum("rkc,rkh->rch", onehot.astype(sc.dtype),
+                     blk_sc.astype(sc.dtype))
+    return jnp.where(covered[:, :, None], upd, sc)
 
 
 def _spec_layer(h, layer_params, cache_entry, *, cfg: TextConfig, cos, sin,
@@ -79,14 +93,17 @@ def _spec_layer(h, layer_params, cache_entry, *, cfg: TextConfig, cos, sin,
     """One decoder layer over a kb-token block per row.
 
     h: (R, kb, D); cache_entry (pk, pv, tk, tv) in the position-major
-    layout (pk/pv (R, Pmax, Hkv, Dh), tk/tv (R, Cmax, Hkv, Dh)).
+    layout (pk/pv (R, Pmax, Hkv, Dh), tk/tv (R, Cmax, Hkv, Dh)) — or the
+    int8 8-tuple with (R, T, Hkv) f32 scales folded into the logits (K)
+    and softmax probs (V) exactly like the ring layer.
     w: (R,) tail write start (= t - 1).  prefix_mask (R, Pmax);
     tail_mask (R, kb, Cmax) block-causal: position i reads slot j iff
     j < t + i (its own just-written KV included, like the ring layer).
     """
     R, kb, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    pk, pv, tk, tv = cache_entry
+    pk, pv, tk, tv = cache_entry[:4]
+    quant = len(cache_entry) == 8
     P = pk.shape[1]
     p_attn = layer_params["self_attn"]
 
@@ -96,9 +113,21 @@ def _spec_layer(h, layer_params, cache_entry, *, cfg: TextConfig, cos, sin,
     v = dense(p_attn["v_proj"], x).reshape(R, kb, Hkv, Dh)
     q, k = apply_rope(q, k, cos, sin)
 
-    tk = _write_block(tk, k, w)
-    tv = _write_block(tv, v, w)
-    new_entry = (pk, pv, tk, tv)
+    if quant:
+        from spacer_tpu.ops.quant import quantize_kv
+
+        pk_sc, pv_sc, tk_sc, tv_sc = cache_entry[4:]
+        kq, ks = quantize_kv(k)               # scales (R, kb, Hkv)
+        vq, vs = quantize_kv(v)
+        tk = _write_block(tk, kq, w)
+        tv = _write_block(tv, vq, w)
+        tk_sc = _write_block_scales(tk_sc, ks, w)
+        tv_sc = _write_block_scales(tv_sc, vs, w)
+        new_entry = (pk, pv, tk, tv, pk_sc, pv_sc, tk_sc, tv_sc)
+    else:
+        tk = _write_block(tk, k, w)
+        tv = _write_block(tv, v, w)
+        new_entry = (pk, pv, tk, tv)
 
     # same numerical contract as the ring layer: operands in the cache
     # dtype, f32 accumulation, masking/softmax on the f32 logits
@@ -110,14 +139,24 @@ def _spec_layer(h, layer_params, cache_entry, *, cfg: TextConfig, cos, sin,
                     preferred_element_type=jnp.float32) * scale
     lt = jnp.einsum("rhgkd,rthd->rhgkt", qf, tk.astype(h.dtype),
                     preferred_element_type=jnp.float32) * scale
+    if quant:
+        # fold the per-(position, head) K scales into the logits
+        lp = lp * jnp.transpose(pk_sc, (0, 2, 1))[:, :, None, None, :]
+        lt = lt * jnp.transpose(tk_sc, (0, 2, 1))[:, :, None, None, :]
     lp = jnp.where(prefix_mask[:, None, None, None, :], lp, -1e30)
     lt = jnp.where(tail_mask[:, None, None, :, :], lt, -1e30)
     full = jnp.concatenate([lp, lt], axis=-1)
     probs = jax.nn.softmax(full, axis=-1)
+    probs_p, probs_t = probs[..., :P], probs[..., P:]
+    if quant:
+        probs_p = probs_p * jnp.transpose(pv_sc, (0, 2, 1))[:, :, None,
+                                                            None, :]
+        probs_t = probs_t * jnp.transpose(tv_sc, (0, 2, 1))[:, :, None,
+                                                            None, :]
     out = (
-        jnp.einsum("rhgkp,rphd->rhgkd", probs[..., :P].astype(h.dtype),
+        jnp.einsum("rhgkp,rphd->rhgkd", probs_p.astype(h.dtype),
                    pv.astype(h.dtype), preferred_element_type=jnp.float32)
-        + jnp.einsum("rhgkt,rthd->rhgkd", probs[..., P:].astype(h.dtype),
+        + jnp.einsum("rhgkt,rthd->rhgkd", probs_t.astype(h.dtype),
                      tv.astype(h.dtype), preferred_element_type=jnp.float32)
     ).astype(h.dtype)
     out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(R, kb, H * Dh)

@@ -84,11 +84,6 @@ def test_speculative_scope_validation():
         ContinuousBatcher(cfg, params, slots=1, prompt_len=8,
                           max_new_tokens=4, temperature=0.7,
                           dtype=jnp.float32, speculate_k=2)
-    with pytest.raises(ValueError, match="int8_kv"):
-        ContinuousBatcher(cfg, params, slots=1, prompt_len=8,
-                          max_new_tokens=4, temperature=0.0,
-                          dtype=jnp.float32, speculate_k=2,
-                          decode_quant="int8_kv")
     with pytest.raises(ValueError, match="position-major"):
         ContinuousBatcher(cfg, params, slots=1, prompt_len=8,
                           max_new_tokens=4, temperature=0.0,
@@ -96,20 +91,22 @@ def test_speculative_scope_validation():
                           decode_impl="flash_ref")
 
 
-def test_speculative_int8_weights():
-    """Weight-only int8 composes with speculation (dense dispatches on
-    the quantized tree transparently); parity vs the int8 ring path."""
+@pytest.mark.parametrize("quant", ["int8", "int8_kv"])
+def test_speculative_quantized(quant):
+    """int8 weights and int8 KV caches compose with speculation (block
+    writes carry the per-(position, head) scales through the same one-hot
+    path); parity vs the equally-quantized ring path."""
     cfg = tiny_config()
     params = init_params(jax.random.key(2), cfg, jnp.float32)
     reqs = [_req(cfg, 10, 200 + i) for i in range(3)]
     plain = ContinuousBatcher(
         cfg, params, slots=2, prompt_len=16, max_new_tokens=16,
         eos_token_id=11, temperature=0.0, chunk_steps=4,
-        dtype=jnp.float32, decode_quant="int8").run(reqs)
+        dtype=jnp.float32, decode_quant=quant).run(reqs)
     spec = ContinuousBatcher(
         cfg, params, slots=2, prompt_len=16, max_new_tokens=16,
         eos_token_id=11, temperature=0.0, chunk_steps=4,
-        dtype=jnp.float32, decode_quant="int8", speculate_k=2).run(reqs)
+        dtype=jnp.float32, decode_quant=quant, speculate_k=2).run(reqs)
     _assert_same(plain, spec)
 
 
