@@ -95,6 +95,31 @@ _SLOW_TESTS = {
     "test_multihost_train_step.py::test_two_process_grpo_train_step",
     "test_trainer_e2e.py::test_merged_temporal_rollout_matches_sequential",
     "test_sampler_compacting.py::test_compacting_compacts_and_survives_bucket_growth",
+    # re-marked 2026-08-18 (fast loop had grown to 13 min on the 1-core
+    # host; --durations=25 offenders >= 11s moved here, keeping the crash
+    # regressions and one core parity test per feature in the default loop)
+    "test_cli.py::test_serve_cli",
+    "test_aria_parity.py::test_text_decode_matches_forward",
+    "test_aria_parity.py::test_full_model_parity_with_image",
+    "test_aria_generate.py::test_greedy_image_generation_matches_hf",
+    "test_train_step.py::test_grpo_step_beta_zero_no_ref",
+    "test_flash_decode.py::test_decode_loop_head_major_matches_einsum",
+    "test_flash_decode.py::test_batcher_head_major_aria_family",
+    "test_pipeline.py::test_grpo_step_with_pipeline",
+    "test_pipeline.py::test_sft_step_with_pipeline",
+    "test_pipeline.py::test_pipeline_train_step_grad_parity",
+    "test_sampler_compacting.py::test_compacting_int8_kv_runs",
+    "test_sampler_compacting.py::test_compacting_greedy_matches_monolithic",
+    "test_quant.py::test_int8_kv_segmented_decode_prefix_deterministic",
+    "test_quant.py::test_int8_kv_decode_step_logits_close",
+    "test_quant.py::test_int8_decode_runs_on_moe_family",
+    "test_positions_and_batching.py::test_multi_video_batch_forward_scatter",
+    "test_eval_real_engine.py::test_sparbench_real_engine_continuous",
+    "test_eval_batched.py::test_eval_batch4_matches_batch1",
+    "test_speculative.py::test_speculative_quantized",
+    "test_speculative.py::test_speculative_with_mesh_sharded_params",
+    "test_offload.py::test_update_with_host_resident_state_matches_device",
+    "test_serving.py::test_batcher_single_chunk_all_slots",
 }
 
 

@@ -110,6 +110,32 @@ def test_speculative_quantized(quant):
     _assert_same(plain, spec)
 
 
+def test_speculative_with_mesh_sharded_params():
+    """Speculation over mesh-sharded params (fsdp x tp, the multi-chip
+    eval deployment): GSPMD partitions the block-verify program around
+    the parameter shardings; outputs must match the unsharded spec run
+    AND the unsharded ring run exactly (greedy, f32)."""
+    from jax.sharding import Mesh
+
+    from spacer_tpu.parallel.partition import shard_params
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    reqs = [_req(cfg, S, 300 + i) for i, S in enumerate([5, 9, 7, 6])]
+    kw = dict(slots=2, prompt_len=16, max_new_tokens=7, eos_token_id=-1,
+              temperature=0.0, chunk_steps=3, dtype=jnp.float32)
+
+    ref = ContinuousBatcher(cfg, params, **kw).run(reqs)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devices, ("data", "fsdp", "tp"))
+    sharded, _ = shard_params(params, mesh)
+    with mesh:
+        got = ContinuousBatcher(cfg, sharded, **kw,
+                                speculate_k=2).run(reqs)
+    _assert_same(ref, got)
+
+
 def test_engine_generate_many_speculative():
     """QwenEngine plumbs speculate_k through to the cached batchers and
     text outputs match the non-speculative engine at temperature 0."""
