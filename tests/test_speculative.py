@@ -136,6 +136,33 @@ def test_speculative_with_mesh_sharded_params():
     _assert_same(ref, got)
 
 
+def test_speculative_serves_aria_family():
+    """Family-generic: the MoE feed-forward (Aria) dispatches through the
+    shared _mlp_block inside the speculative block layer, exactly like the
+    ragged ring layer; greedy parity vs the ring batcher."""
+    from spacer_tpu.models.aria.config import tiny_aria_config
+    from spacer_tpu.models.aria.model import init_params as aria_init
+    from spacer_tpu.models.registry import aria_positions
+
+    cfg = tiny_aria_config()
+    params = aria_init(jax.random.key(0), cfg, jnp.float32)
+    rng = np.random.RandomState(5)
+    reqs = []
+    for S in [5, 9, 7]:
+        ids = rng.randint(10, cfg.text.vocab_size, size=(1, S)).astype(
+            np.int32)
+        mask = np.ones((1, S), np.int32)
+        pos3, deltas = aria_positions(cfg, ids, mask)
+        reqs.append({"input_ids": ids, "attention_mask": mask,
+                     "position_ids": pos3, "deltas": deltas})
+
+    kw = dict(slots=2, prompt_len=16, max_new_tokens=6, eos_token_id=-1,
+              temperature=0.0, chunk_steps=4, dtype=jnp.float32)
+    plain = ContinuousBatcher(cfg, params, **kw).run(reqs)
+    spec = ContinuousBatcher(cfg, params, **kw, speculate_k=2).run(reqs)
+    _assert_same(plain, spec)
+
+
 def test_engine_generate_many_speculative():
     """QwenEngine plumbs speculate_k through to the cached batchers and
     text outputs match the non-speculative engine at temperature 0."""
