@@ -75,6 +75,15 @@ def main(argv=None):
     serve_cfg, model_args = parse_configs((ServeConfig, ModelArgs), argv)
     if not serve_cfg.http and not serve_cfg.input_file:
         raise SystemExit("--input_file is required (or pass --http)")
+    if serve_cfg.speculate_k:
+        # fail BEFORE the (minutes-long) checkpoint load, not on wave 1
+        if serve_cfg.temperature > 0.0:
+            raise SystemExit(
+                "--speculate_k needs greedy decoding: pass --temperature 0")
+        if not serve_cfg.http and serve_cfg.serving != "continuous":
+            raise SystemExit(
+                "--speculate_k requires --serving continuous (the static "
+                "grouped sampler has no speculative path)")
     setup_distributed(model_args)
     cfg, params, processor, mesh = load_model_and_processor(model_args)
 

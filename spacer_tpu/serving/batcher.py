@@ -303,6 +303,8 @@ class ContinuousBatcher:
         # speculative decoding (serving/speculative.py): greedy-only v1
         # over the position-major bf16/f32 caches
         self.speculate_k = int(speculate_k)
+        if self.speculate_k < 0:
+            raise ValueError(f"speculate_k must be >= 0, got {speculate_k}")
         if self.speculate_k:
             if self.temperature > 0.0:
                 raise ValueError(
@@ -491,9 +493,11 @@ class ContinuousBatcher:
 
     @property
     def spec_stats(self) -> dict:
-        """{'steps', 'tokens'} emitted by speculative block steps —
-        tokens/steps is the measured acceptance rate (incl. the bonus
-        token; 1.0 means speculation never helped)."""
+        """{'steps', 'tokens'} over speculative block ROW-steps (one unit
+        = one active row in one block program, i.e. what a sequential
+        decode spends to emit one token) — tokens/steps is the mean
+        per-row acceptance incl. the bonus token; 1.0 means speculation
+        never helped."""
         steps, tokens = (int(x) for x in np.asarray(self.state["spec"]))
         return {"steps": steps, "tokens": tokens}
 

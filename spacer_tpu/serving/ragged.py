@@ -122,6 +122,10 @@ def _ragged_layer(h, layer_params, cache_entry, *, cfg: TextConfig,
     position at exactly the step whose write lands there (rel of the write
     index is t-1), and writes precede reads in this layer — so stale or
     garbage entries from a previous occupant of the slot are never read.
+
+    KEEP NUMERICALLY IN SYNC with serving/speculative.py::_spec_layer
+    (the kb-token block generalization of this layer); the
+    test_speculative.py parity tests pin the two against each other.
     """
     R, _, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim

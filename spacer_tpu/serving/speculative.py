@@ -18,8 +18,12 @@ Design (TPU-first, scatter-free):
   greedy predictions for every block position; the accepted prefix is
   the longest run where pred[i] == draft[i], plus the first correction
   as a bonus token — so every step emits between 1 and kb tokens and
-  greedy outputs are BIT-IDENTICAL to the sequential loop by
-  construction (verification IS the sequential rule).
+  greedy outputs match the sequential loop by construction
+  (verification IS the sequential rule).  The match is exact up to fp
+  reassociation: the block program reduces attention in positional
+  order while the ring reduces in rotated slot order, so an EXACT
+  logit tie could in principle resolve differently — parity is pinned
+  bit-for-bit by the f32 and int8 CPU tests, where ties do not occur.
 
   KV writes: block i's KV belongs at tail slot t-1+i (per-row offset).
   Instead of the clock ring (whose lockstep global write index cannot
@@ -99,6 +103,11 @@ def _spec_layer(h, layer_params, cache_entry, *, cfg: TextConfig, cos, sin,
     w: (R,) tail write start (= t - 1).  prefix_mask (R, Pmax);
     tail_mask (R, kb, Cmax) block-causal: position i reads slot j iff
     j < t + i (its own just-written KV included, like the ring layer).
+
+    KEEP NUMERICALLY IN SYNC with serving/ragged.py::_ragged_layer (this
+    is its kb-token generalization; only the write mechanism differs).
+    The test_speculative.py parity tests pin the two paths against each
+    other, so a drift fails the suite.
     """
     R, kb, D = h.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -307,9 +316,12 @@ def spec_chunk_jit(state, layer_params, other_params, *, text_cfg,
         cur = jnp.where(was_done, cur, last)
         t = t + a
         done = was_done | (f + 1 <= a) | (t >= maxnew)
-        any_active = jnp.any(~was_done).astype(jnp.int32)
+        # telemetry in ROW-steps: a sequential decode emits exactly one
+        # token per active row per step, so tokens/steps is the mean
+        # per-row acceptance (1.0 = speculation never helped)
+        active_rows = (~was_done).sum().astype(jnp.int32)
         spec = spec + jnp.stack(
-            [any_active, a.sum().astype(jnp.int32)])
+            [active_rows, a.sum().astype(jnp.int32)])
         return i + 1, caches, cur, t, done, out, spec, rng
 
     def cond(carry):
