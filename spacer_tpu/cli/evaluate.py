@@ -22,11 +22,20 @@ def main(argv=None):
     from spacer_tpu.evalharness import EvalConfig, QwenEngine, run_benchmark
 
     eval_cfg, model_args = parse_configs((EvalConfig, ModelArgs), argv)
+    if eval_cfg.speculate_k:
+        # fail BEFORE the checkpoint load with a clear message
+        if eval_cfg.temperature > 0.0:
+            raise SystemExit(
+                "--speculate_k needs greedy decoding: pass --temperature 0")
+        if eval_cfg.serving != "continuous":
+            raise SystemExit(
+                "--speculate_k requires --serving continuous")
     setup_distributed(model_args)
     cfg, params, processor, mesh = load_model_and_processor(model_args)
     engine = QwenEngine(cfg, params, processor,
                         decode_quant=model_args.decode_quant or None,
-                        decode_impl=model_args.decode_impl or None)
+                        decode_impl=model_args.decode_impl or None,
+                        speculate_k=eval_cfg.speculate_k)
     metrics = run_benchmark(eval_cfg, engine)
     print(json.dumps(metrics, indent=1, default=float))
 

@@ -101,7 +101,7 @@ def evaluate_videomme(
     rank, world_size, data_file, video_dir, engine, output_dir, *,
     num_frames=32, fps=1, target_resolution=(448, 448), debug=False,
     batch_size=1, debug_size=4, prompt_type="thinking",
-    max_new_tokens=None, serving="static",
+    max_new_tokens=None, serving="static", temperature=0.01,
 ):
     import pandas as pd
 
@@ -144,6 +144,7 @@ def evaluate_videomme(
     return run_worker(
         task="Video-MME", rank=rank, world_size=world_size, rows=rows,
         build_sample=build_sample, engine=engine, output_dir=output_dir,
-        batch_size=batch_size, serving=serving, max_new_tokens=max_new, temperature=0.01,
+        batch_size=batch_size, serving=serving, max_new_tokens=max_new,
+        temperature=temperature,
         debug=debug, debug_size=debug_size,
     )

@@ -45,6 +45,14 @@ class EvalConfig:
     # batch_size decode slots with mid-flight refill (serving/batcher.py,
     # the vLLM-role path — requires the engine to expose generate_many)
     serving: str = "static"
+    # decode temperature (reference: 0.01 for every benchmark,
+    # evaluate.py:106-118).  Set 0.0 for exact greedy — required when the
+    # engine enables speculative decoding
+    temperature: float = 0.01
+    # greedy prompt-lookup speculative decoding (serving/speculative.py):
+    # consumed by the CLI when constructing QwenEngine; needs
+    # temperature=0.0 and serving="continuous"
+    speculate_k: int = 0
 
 
 def prepare_data(task: str, data_root: str = ".") -> tuple:
@@ -131,7 +139,7 @@ def run_benchmark(cfg: EvalConfig, engine) -> dict:
             target_resolution=tuple(cfg.target_resolution), debug=cfg.debug,
             batch_size=cfg.batch_size, debug_size=cfg.debug_size,
             prompt_type=cfg.prompt_type, max_new_tokens=cfg.max_new_tokens,
-            serving=cfg.serving,
+            serving=cfg.serving, temperature=cfg.temperature,
         )
         elapsed.append(dt)
     logger.info(

@@ -120,3 +120,34 @@ def test_tempcompass_end_to_end(tmp_path, video_dir):
     )
     metrics = run_benchmark(cfg, engine)
     assert metrics["overall_accuracy"] == pytest.approx(0.5)
+
+
+def test_eval_temperature_plumbs_to_engine(video_dir, tmp_path):
+    """EvalConfig.temperature reaches the engine call (reference default
+    0.01, evaluate.py:106-118; 0.0 is the greedy setting speculative
+    decoding requires)."""
+    rows = [{
+        "id": 0, "dataset": "scannet", "scene_name": "scene1",
+        "question": "q", "options": [], "ground_truth": "3",
+        "question_type": "object_counting",
+    }]
+    pq = tmp_path / "vsi.parquet"
+    pd.DataFrame(rows).to_parquet(pq)
+
+    seen = []
+
+    class Recorder(EchoEngine):
+        def generate(self, messages_list, *, max_new_tokens=128,
+                     temperature=0.01):
+            seen.append(temperature)
+            return super().generate(
+                messages_list, max_new_tokens=max_new_tokens,
+                temperature=temperature)
+
+    cfg = EvalConfig(
+        task="VSI-Bench", output_dir=str(tmp_path / "out"),
+        num_frames=4, fps=1, data_file=str(pq), video_dir=video_dir,
+        temperature=0.0,
+    )
+    run_benchmark(cfg, Recorder())
+    assert seen == [0.0]
