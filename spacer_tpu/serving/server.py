@@ -206,7 +206,11 @@ class OpenAIServer:
 
     # -- request handling --------------------------------------------------
 
-    def _complete(self, messages: list, max_tokens: Optional[int]) -> dict:
+    def _complete(self, messages: list, max_tokens: Optional[int],
+                  n: int = 1) -> dict:
+        """n > 1 (OpenAI `n`, the distilabel generator's num_generations,
+        reference open_r1/generate.py:33-41): the prompt is submitted n
+        times and the slots decode the copies concurrently."""
         req = encode_chat(self.processor, self.cfg, messages)
         n_prompt = int(req["attention_mask"].sum())
         if req["input_ids"].shape[1] > self.prompt_len:
@@ -215,30 +219,36 @@ class OpenAIServer:
                      f"this deployment's bucket {self.prompt_len}")
         if max_tokens:
             req["max_new_tokens"] = int(max_tokens)
+        n = max(1, int(n or 1))
         try:
-            pending = self.loop.submit(req)
+            pendings = [self.loop.submit(dict(req)) for _ in range(n)]
         except ValueError as e:
             raise _HttpError(400, str(e))
-        served = self.loop.result(pending, timeout=self.request_timeout)
-        text = self.processor.tokenizer.batch_decode(
-            [np.asarray(served.sequences[:served.length])],
-            skip_special_tokens=True,
-        )[0]
-        finish = ("length" if served.length >= self.batcher.budget_of(req)
-                  else "stop")
+        choices, total_completion = [], 0
+        for i, pending in enumerate(pendings):
+            served = self.loop.result(pending, timeout=self.request_timeout)
+            text = self.processor.tokenizer.batch_decode(
+                [np.asarray(served.sequences[:served.length])],
+                skip_special_tokens=True,
+            )[0]
+            finish = ("length"
+                      if served.length >= self.batcher.budget_of(req)
+                      else "stop")
+            choices.append({
+                "index": i,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": finish,
+            })
+            total_completion += int(served.length)
         return {
             "id": f"chatcmpl-{next(self._ids)}",
             "object": "chat.completion",
             "model": self.model_name,
-            "choices": [{
-                "index": 0,
-                "message": {"role": "assistant", "content": text},
-                "finish_reason": finish,
-            }],
+            "choices": choices,
             "usage": {
                 "prompt_tokens": n_prompt,
-                "completion_tokens": int(served.length),
-                "total_tokens": n_prompt + int(served.length),
+                "completion_tokens": total_completion,
+                "total_tokens": n_prompt + total_completion,
             },
         }
 
@@ -296,7 +306,8 @@ class OpenAIServer:
                     if self.path == "/v1/chat/completions":
                         out = server._complete(
                             body.get("messages", []),
-                            body.get("max_tokens"))
+                            body.get("max_tokens"),
+                            n=body.get("n", 1))
                     elif self.path == "/v1/completions":
                         messages = [{"role": "user",
                                      "content": body.get("prompt", "")}]

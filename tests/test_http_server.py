@@ -158,6 +158,55 @@ def test_malformed_request_fails_alone(server):
     assert out["choices"][0]["finish_reason"] in ("stop", "length")
 
 
+def test_n_generations_and_distill_tool_roundtrip(server):
+    """OpenAI `n` (num_generations) returns n indexed choices, and the
+    distill-data generator (tools/generate_distill_data.py, the
+    reference's distilabel-pipeline role) round-trips against this server
+    through its client interface."""
+    import types
+
+    from tools.generate_distill_data import generate_rows
+
+    _, port = server
+    status, out = _post(port, "/v1/chat/completions", {
+        "model": "tiny", "n": 2,
+        "messages": [{"role": "user", "content": "two please"}],
+        "max_tokens": 4,
+    })
+    assert status == 200
+    assert [c["index"] for c in out["choices"]] == [0, 1]
+    assert all(c["message"]["content"] for c in out["choices"])
+
+    class _ShimClient:
+        """openai-SDK-shaped client over plain http (the SDK is not in
+        this image; the wire schema is what we are testing)."""
+
+        def __init__(self, port):
+            self.chat = types.SimpleNamespace(
+                completions=types.SimpleNamespace(create=self._create))
+            self._port = port
+
+        def _create(self, *, model, messages, **kw):
+            status, out = _post(self._port, "/v1/chat/completions", {
+                "model": model, "messages": messages,
+                "max_tokens": kw.get("max_tokens"), "n": kw.get("n", 1),
+            })
+            assert status == 200
+            return types.SimpleNamespace(choices=[
+                types.SimpleNamespace(message=types.SimpleNamespace(
+                    content=c["message"]["content"]))
+                for c in out["choices"]
+            ])
+
+    rows = generate_rows(
+        _ShimClient(port), "tiny", ["prompt one", "prompt two"],
+        max_new_tokens=4, num_generations=2, workers=2,
+    )
+    assert len(rows) == 2
+    for row in rows:
+        assert len(row["generations"]) == 2
+
+
 def test_unknown_route_404(server):
     _, port = server
     status, out = _post(port, "/v1/embeddings", {"input": "x"})
