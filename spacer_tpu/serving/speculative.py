@@ -215,11 +215,13 @@ def spec_decode_step(layers, params, cfg: TextConfig, toks, pos3, caches,
 
 def _build_drafts(pids, pmask, out, cur, t, n_draft: int, pad_token: int):
     """Prompt-lookup drafts: for each row, find the most recent earlier
-    occurrence of the (prev, cur) bigram in [prompt tokens, emitted
-    tokens] and propose the n_draft tokens that followed it.  No match
-    (or a match running off the known context) drafts pad tokens — the
-    first verification mismatch simply caps acceptance at the guaranteed
-    1 token, so drafting is never wrong, only more or less useful."""
+    occurrence of the trailing n-gram in [prompt tokens, emitted tokens]
+    — longest first (trigram, then bigram, the standard prompt-lookup
+    rule: longer matches predict continuations more reliably) — and
+    propose the n_draft tokens that followed it.  No match (or a match
+    running off the known context) drafts pad tokens — the first
+    verification mismatch simply caps acceptance at the guaranteed 1
+    token, so drafting is never wrong, only more or less useful."""
     R, Pmax = pids.shape
     Cmax = out.shape[1]
     PT = Pmax + Cmax
@@ -228,23 +230,35 @@ def _build_drafts(pids, pmask, out, cur, t, n_draft: int, pad_token: int):
         [pmask.astype(bool),
          jnp.arange(Cmax)[None, :] < t[:, None]], axis=1)   # (R, PT)
 
-    # prev token: out[t-2] when t >= 2, else the last prompt token
-    prev = jnp.where(
-        t >= 2,
-        jnp.take_along_axis(
-            out, jnp.maximum(t - 2, 0)[:, None], axis=1)[:, 0],
-        pids[:, -1],
-    )
     cur_pos = Pmax + t - 1                                  # index of cur
+
+    def tok_at(offset):
+        """Token `offset` places before cur (clip-gathered; validity is
+        checked separately so left-padding never matches)."""
+        idx = jnp.clip(cur_pos - offset, 0, PT - 1)[:, None]
+        return (jnp.take_along_axis(ctx, idx, axis=1)[:, 0],
+                jnp.take_along_axis(valid, idx, axis=1)[:, 0]
+                & (cur_pos - offset >= 0))
+
+    prev1, ok1 = tok_at(1)
+    prev2, ok2 = tok_at(2)
+
     j = jnp.arange(PT)
-    match = (
+    earlier = (j[None, 1:] < cur_pos[:, None])              # strictly earlier
+    m2 = (
         (ctx[:, 1:] == cur[:, None])
-        & (ctx[:, :-1] == prev[:, None])
+        & (ctx[:, :-1] == prev1[:, None])
         & valid[:, 1:] & valid[:, :-1]
-        & (j[None, 1:] < cur_pos[:, None])                  # strictly earlier
+        & ok1[:, None] & earlier
     )                                                        # (R, PT-1) at j=1..
+    m3 = m2 & jnp.concatenate(
+        [jnp.zeros((R, 1), bool),
+         (ctx[:, :-2] == prev2[:, None]) & valid[:, :-2]], axis=1,
+    ) & ok2[:, None]
     jj = j[None, 1:]
-    best = jnp.max(jnp.where(match, jj, -1), axis=1)        # (R,) or -1
+    best3 = jnp.max(jnp.where(m3, jj, -1), axis=1)          # (R,) or -1
+    best2 = jnp.max(jnp.where(m2, jj, -1), axis=1)
+    best = jnp.where(best3 >= 0, best3, best2)
     has = best >= 0
 
     # gather the n_draft tokens after the match; clip + validity-mask
