@@ -312,14 +312,14 @@ class OpenAIServer:
                         messages = [{"role": "user",
                                      "content": body.get("prompt", "")}]
                         out = server._complete(messages,
-                                               body.get("max_tokens"))
+                                               body.get("max_tokens"),
+                                               n=body.get("n", 1))
                         out["object"] = "text_completion"
                         out["choices"] = [{
-                            "index": 0,
-                            "text": out["choices"][0]["message"]["content"],
-                            "finish_reason":
-                                out["choices"][0]["finish_reason"],
-                        }]
+                            "index": c["index"],
+                            "text": c["message"]["content"],
+                            "finish_reason": c["finish_reason"],
+                        } for c in out["choices"]]
                     else:
                         return self._send(404, {"error": "not found"})
                     return self._send(200, out)
