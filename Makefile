@@ -16,9 +16,13 @@ quality:
 test:
 	python -m pytest tests/ -x -q
 
-# the FULL suite, slow tests included
+# the FULL suite, slow tests included.  Two pytest processes: a single
+# process accumulates XLA:CPU compiler state over the ~250 compiles and
+# has been observed to segfault inside backend_compile near the end of
+# the run (tests pass in isolation); process sharding bounds that state.
 test-all:
-	SPACER_RUN_SLOW=1 python -m pytest tests/ -x -q
+	SPACER_RUN_SLOW=1 python -m pytest tests/test_[a-m]*.py -x -q
+	SPACER_RUN_SLOW=1 python -m pytest tests/test_[n-z]*.py -x -q
 
 native:
 	$(MAKE) -C native
