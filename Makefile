@@ -21,8 +21,8 @@ test:
 # has been observed to segfault inside backend_compile near the end of
 # the run (tests pass in isolation); process sharding bounds that state.
 test-all:
-	SPACER_RUN_SLOW=1 python -m pytest tests/test_[a-m]*.py -x -q
-	SPACER_RUN_SLOW=1 python -m pytest tests/test_[n-z]*.py -x -q
+	python -m pytest tests/test_[a-m]*.py -x -q -m ""
+	python -m pytest tests/test_[n-z]*.py -x -q -m ""
 
 native:
 	$(MAKE) -C native
