@@ -523,6 +523,18 @@ class ContinuousBatcher:
                 self._slot_req[r] = None
         return results
 
+    def poll_progress(self) -> list:
+        """(tag, token_row, t) for every ACTIVE slot — the streaming feed.
+
+        Unlike poll_finished this fetches the (R, Cmax) token buffer every
+        call, so the serving loop only invokes it while a streaming
+        request is in flight.  token_row[:t] is exactly the emitted
+        tokens (writes stop at done, so at most one trailing EOS)."""
+        ts = np.asarray(self.state["t"])
+        out = np.asarray(self.state["out"])
+        return [(self._slot_req[r], out[r], int(ts[r]))
+                for r in range(self.R) if self._slot_req[r] is not None]
+
     def run(self, requests: Sequence[dict],
             max_new_tokens: Optional[int] = None) -> list[ServedOutput]:
         """Drive all requests to completion; returns outputs in order.

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import queue as _queue
 import threading
 from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -37,12 +38,16 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("event", "output", "error")
+    __slots__ = ("event", "output", "error", "tokens", "pushed")
 
-    def __init__(self):
+    def __init__(self, stream: bool = False):
         self.event = threading.Event()
         self.output = None
         self.error: Optional[str] = None
+        # streaming requests get a token feed: items are
+        # ("tokens", list[int]) | ("done", ServedOutput) | ("error", str)
+        self.tokens = _queue.Queue() if stream else None
+        self.pushed = 0   # emitted tokens already fed (loop thread only)
 
 
 class ServingLoop:
@@ -63,14 +68,14 @@ class ServingLoop:
                                         name="spacer-serving-loop")
         self._thread.start()
 
-    def submit(self, request: dict,
-               max_new_tokens: Optional[int] = None) -> _Pending:
+    def submit(self, request: dict, max_new_tokens: Optional[int] = None,
+               stream: bool = False) -> _Pending:
         # validate on the CALLER's thread: a malformed request (OOV ids,
         # over-bucket prompt) raises here and fails alone, instead of
         # raising inside the loop thread's admission wave where any error
         # is treated as device-state corruption and kills the whole server
         self.batcher.validate_request(request)
-        pending = _Pending()
+        pending = _Pending(stream=stream)
         budget = self.batcher.budget_of(request, max_new_tokens)
         with self._cv:
             if self._stop:
@@ -117,7 +122,22 @@ class ServingLoop:
                 b.decode_chunk()
                 for pending, served in b.poll_finished():
                     pending.output = served
+                    if pending.tokens is not None:
+                        # the final text comes from `served`; no need to
+                        # flush the last progress delta separately
+                        pending.tokens.put(("done", served))
                     pending.event.set()
+                # feed in-flight streaming requests (one host fetch of the
+                # token buffer per chunk, only when someone is streaming)
+                if any(isinstance(t, _Pending) and t.tokens is not None
+                       for t in b._slot_req):
+                    for tag, toks, t in b.poll_progress():
+                        if (isinstance(tag, _Pending)
+                                and tag.tokens is not None
+                                and t > tag.pushed):
+                            tag.tokens.put(
+                                ("tokens", toks[tag.pushed:t].tolist()))
+                            tag.pushed = t
             except Exception as e:  # noqa: BLE001
                 # a failed device program means the ring state can no longer
                 # be trusted: fail EVERYTHING (this wave's admissions,
@@ -139,6 +159,8 @@ class ServingLoop:
                 for pending, _req, _budget, _slot in dead:
                     if isinstance(pending, _Pending):
                         pending.error = msg
+                        if pending.tokens is not None:
+                            pending.tokens.put(("error", msg))
                         pending.event.set()
                 return
 
@@ -206,11 +228,7 @@ class OpenAIServer:
 
     # -- request handling --------------------------------------------------
 
-    def _complete(self, messages: list, max_tokens: Optional[int],
-                  n: int = 1) -> dict:
-        """n > 1 (OpenAI `n`, the distilabel generator's num_generations,
-        reference open_r1/generate.py:33-41): the prompt is submitted n
-        times and the slots decode the copies concurrently."""
+    def _encode(self, messages: list, max_tokens: Optional[int]):
         req = encode_chat(self.processor, self.cfg, messages)
         n_prompt = int(req["attention_mask"].sum())
         if req["input_ids"].shape[1] > self.prompt_len:
@@ -219,6 +237,18 @@ class OpenAIServer:
                      f"this deployment's bucket {self.prompt_len}")
         if max_tokens:
             req["max_new_tokens"] = int(max_tokens)
+        return req, n_prompt
+
+    def _decode_text(self, token_ids) -> str:
+        return self.processor.tokenizer.batch_decode(
+            [np.asarray(token_ids)], skip_special_tokens=True)[0]
+
+    def _complete(self, messages: list, max_tokens: Optional[int],
+                  n: int = 1) -> dict:
+        """n > 1 (OpenAI `n`, the distilabel generator's num_generations,
+        reference open_r1/generate.py:33-41): the prompt is submitted n
+        times and the slots decode the copies concurrently."""
+        req, n_prompt = self._encode(messages, max_tokens)
         n = max(1, int(n or 1))
         try:
             pendings = [self.loop.submit(dict(req)) for _ in range(n)]
@@ -227,10 +257,7 @@ class OpenAIServer:
         choices, total_completion = [], 0
         for i, pending in enumerate(pendings):
             served = self.loop.result(pending, timeout=self.request_timeout)
-            text = self.processor.tokenizer.batch_decode(
-                [np.asarray(served.sequences[:served.length])],
-                skip_special_tokens=True,
-            )[0]
+            text = self._decode_text(served.sequences[:served.length])
             finish = ("length"
                       if served.length >= self.batcher.budget_of(req)
                       else "stop")
@@ -299,10 +326,82 @@ class OpenAIServer:
                     })
                 return self._send(404, {"error": "not found"})
 
+            def _sse_chat(self, body: dict):
+                """OpenAI streaming (`stream: true`): chat.completion.chunk
+                events over text/event-stream, closed by `data: [DONE]`.
+                Deltas are string diffs of the cumulatively-decoded tokens,
+                so multi-token characters never split mid-sequence."""
+                import time as _time
+
+                if int(body.get("n", 1) or 1) > 1:
+                    return self._send(
+                        400, {"error": "stream does not support n > 1"})
+                try:
+                    req, _ = server._encode(body.get("messages", []),
+                                            body.get("max_tokens"))
+                    pending = server.loop.submit(req, stream=True)
+                except _HttpError as e:
+                    return self._send(e.code, {"error": e.message})
+                except ValueError as e:
+                    return self._send(400, {"error": str(e)})
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                cid = f"chatcmpl-{next(server._ids)}"
+
+                def chunk(delta: dict, finish=None):
+                    payload = {
+                        "id": cid, "object": "chat.completion.chunk",
+                        "model": server.model_name,
+                        "choices": [{"index": 0, "delta": delta,
+                                     "finish_reason": finish}],
+                    }
+                    self.wfile.write(
+                        f"data: {json.dumps(payload)}\n\n".encode())
+                    self.wfile.flush()
+
+                chunk({"role": "assistant"})
+                sent, toks = "", []
+                deadline = _time.time() + server.request_timeout
+                while True:
+                    try:
+                        kind, val = pending.tokens.get(
+                            timeout=max(1.0, deadline - _time.time()))
+                    except _queue.Empty:
+                        chunk({}, finish="error")
+                        break
+                    if kind == "error":
+                        chunk({}, finish="error")
+                        break
+                    if kind == "tokens":
+                        toks.extend(val)
+                        text = server._decode_text(toks)
+                    else:  # done
+                        served = val
+                        text = server._decode_text(
+                            served.sequences[:served.length])
+                    delta = (text[len(sent):] if text.startswith(sent)
+                             else text)
+                    if delta:
+                        chunk({"content": delta})
+                        sent = text
+                    if kind == "done":
+                        finish = ("length" if served.length
+                                  >= server.batcher.budget_of(req)
+                                  else "stop")
+                        chunk({}, finish=finish)
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                        break
+
             def do_POST(self):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
+                    if (self.path == "/v1/chat/completions"
+                            and body.get("stream")):
+                        return self._sse_chat(body)
                     if self.path == "/v1/chat/completions":
                         out = server._complete(
                             body.get("messages", []),

@@ -207,6 +207,49 @@ def test_n_generations_and_distill_tool_roundtrip(server):
         assert len(row["generations"]) == 2
 
 
+def test_streaming_chat_completion(server):
+    """stream=true: chat.completion.chunk SSE events whose concatenated
+    deltas equal the non-streaming answer (greedy server), terminated by
+    a finish_reason chunk and `data: [DONE]`."""
+    _, port = server
+    payload = {"model": "tiny",
+               "messages": [{"role": "user", "content": "stream this"}],
+               "max_tokens": 8}
+    status, plain = _post(port, "/v1/chat/completions", payload)
+    assert status == 200
+    expected = plain["choices"][0]["message"]["content"]
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/v1/chat/completions",
+                 body=json.dumps({**payload, "stream": True}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    events, done = [], False
+    while True:
+        line = resp.fp.readline()
+        if not line:
+            break
+        line = line.decode().strip()
+        if not line.startswith("data: "):
+            continue
+        data = line[len("data: "):]
+        if data == "[DONE]":
+            done = True
+            break
+        events.append(json.loads(data))
+    conn.close()
+
+    assert done
+    assert all(e["object"] == "chat.completion.chunk" for e in events)
+    assert events[0]["choices"][0]["delta"].get("role") == "assistant"
+    text = "".join(e["choices"][0]["delta"].get("content", "")
+                   for e in events)
+    assert text == expected
+    assert events[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
 def test_unknown_route_404(server):
     _, port = server
     status, out = _post(port, "/v1/embeddings", {"input": "x"})
