@@ -70,33 +70,45 @@ class ServedOutput:
     donate_argnums=(0,),
 )
 def _admit_jit(state, params, input_ids, input_embeds, position_ids,
-               prompt_mask, delta, max_new, slot, *, text_cfg,
+               prompt_mask, delta, max_new, slot, src=None, *, text_cfg,
                attn_impl=None, temperature, top_p, eos_token_id,
                head_major: bool = False):
-    """Prefill Bq prompts and insert them into slots `slot` — one program.
+    """Prefill Bu UNIQUE prompts and insert them into Bq slots — one
+    program.
 
-    input_ids (Bq, Pmax); input_embeds (Bq, Pmax, D) left-padded (from the
+    input_ids (Bu, Pmax); input_embeds (Bu, Pmax, D) left-padded (from the
     vision prologue) or None for text-only requests — then the embedding
     lookup happens here, folding the whole admission into a single dispatch
     (per-call dispatch costs rival the prefill compute on a remote-relay
-    backend).  delta/max_new/slot: (Bq,).
+    backend).  delta/max_new/slot: (Bq,); src: (Bq,) int32 mapping each
+    admission to its unique prefill row (None = identity, Bu == Bq).
+
+    Bu < Bq is the prefix-caching role of the reference's vLLM engine
+    (enable_prefix_caching=True, vllm_grpo_trainer_modified.py:367): an
+    n-sampling wave (OpenAI `n`, distillation num_generations) prefills
+    the shared prompt ONCE and fans the KV out to the clone slots, each
+    clone sampling its own first token.
 
     Duplicate rows targeting the same slot are allowed and idempotent-by-
     last-write (the host pads admission waves to a power-of-two Bq by
-    repeating the final admission, so only a few program shapes compile).
+    repeating the final admission, so only a few program shapes compile;
+    unique rows pad to a power-of-two Bu the same way).
     """
     if input_embeds is None:
         from spacer_tpu.nn.core import embed as embed_op
 
         input_embeds = embed_op(params["model"]["embed_tokens"], input_ids)
-    B, S, _ = input_embeds.shape
-    cache = init_kv_cache(text_cfg, B, S, dtype=input_embeds.dtype)
+    Bu, S, _ = input_embeds.shape
+    B = slot.shape[0]
+    if src is None:
+        src = jnp.arange(B, dtype=jnp.int32)
+    cache = init_kv_cache(text_cfg, Bu, S, dtype=input_embeds.dtype)
     logits, cache = lm_forward(
         params["model"], text_cfg, input_embeds=input_embeds,
         position_ids=position_ids, kv_mask=prompt_mask.astype(bool),
         cache=cache, cache_index=0, attn_impl=attn_impl,
     )
-    pk_all, pv_all = cache["k"], cache["v"]  # (L, Bq, Pmax, Hkv, Dh)
+    pk_all, pv_all = cache["k"], cache["v"]  # (L, Bu, Pmax, Hkv, Dh)
     if head_major:
         # flash-decode slab layout: (…, Pmax, Hkv, Dh) -> (…, Hkv, Pmax, Dh)
         pk_all = jnp.transpose(pk_all, (0, 1, 3, 2, 4))
@@ -110,24 +122,38 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
 
         pk_q, pk_s = quantize_kv(pk_all)
         pv_q, pv_s = quantize_kv(pv_all)
+
+    def row(arr, l, b):
+        """arr[l, src[b]][None] via a dynamic gather (src is traced so the
+        (Bq, Bu) shape pair, not the dup pattern, keys the compile)."""
+        return jax.lax.dynamic_index_in_dim(arr[l], src[b], 0,
+                                            keepdims=True)
+
     for l in range(L):
         entry = list(caches[l])
         for b in range(B):
             entry[0] = jax.lax.dynamic_update_slice(
-                entry[0], (pk_q if quant else pk_all)[l, b][None].astype(
+                entry[0], row(pk_q if quant else pk_all, l, b).astype(
                     entry[0].dtype), (slot[b], 0, 0, 0))
             entry[1] = jax.lax.dynamic_update_slice(
-                entry[1], (pv_q if quant else pv_all)[l, b][None].astype(
+                entry[1], row(pv_q if quant else pv_all, l, b).astype(
                     entry[1].dtype), (slot[b], 0, 0, 0))
             if quant:
                 entry[4] = jax.lax.dynamic_update_slice(
-                    entry[4], pk_s[l, b][None], (slot[b], 0, 0))
+                    entry[4], row(pk_s, l, b), (slot[b], 0, 0))
                 entry[5] = jax.lax.dynamic_update_slice(
-                    entry[5], pv_s[l, b][None], (slot[b], 0, 0))
+                    entry[5], row(pv_s, l, b), (slot[b], 0, 0))
         caches[l] = tuple(entry)
 
+    # per-ADMISSION views of the unique rows (clones share these)
+    pmask_adm = jnp.take(prompt_mask, src, axis=0)        # (Bq, Pmax)
+    pids_adm = jnp.take(input_ids.astype(jnp.int32), src, axis=0)
+    logits_adm = jnp.take(logits[:, -1], src, axis=0)     # (Bq, V)
+
     rng, sub = jax.random.split(state["rng"])
-    first = sample_logits(logits[:, -1], sub, temperature, top_p)
+    # one batched sample: every clone draws its own first token (vLLM
+    # n-sampling semantics — identical only under greedy)
+    first = sample_logits(logits_adm, sub, temperature, top_p)
     first = first.astype(jnp.int32)  # (Bq,)
 
     def at(arr, vals):
@@ -142,8 +168,8 @@ def _admit_jit(state, params, input_ids, input_embeds, position_ids,
     out_rows = jnp.zeros((B, Cmax), jnp.int32).at[:, 0].set(first)
     return {
         "caches": tuple(caches),
-        "pmask": at(state["pmask"], prompt_mask),
-        "pids": at(state["pids"], input_ids.astype(jnp.int32)),
+        "pmask": at(state["pmask"], pmask_adm),
+        "pids": at(state["pids"], pids_adm),
         "delta": at(state["delta"], delta),
         "admit": at(state["admit"],
                     jnp.broadcast_to(state["clock"], (B,))),
@@ -412,15 +438,35 @@ class ContinuousBatcher:
 
     def _admit_wave(self, admissions: list):
         """Admit [(req, budget, slot), ...] in ONE program.  The wave pads
-        to a power-of-two row count by repeating the last admission
+        to a power-of-two admission count by repeating the last admission
         (idempotent: duplicate rows write the same slot sequentially), so
-        only log2(slots)+1 admission shapes ever compile."""
+        only log2(slots)+1 admission shapes ever compile.
+
+        Identical prompts within the wave prefill ONCE (vision prologue
+        included) and fan their KV out to every clone slot — the
+        reference vLLM engine's enable_prefix_caching role for n-sampling
+        (OpenAI `n`, distillation num_generations).  Text prompts dedupe
+        by token content; vision prompts by vision_kwargs object identity
+        (the n-path reuses the same dict, so clones share the prologue)."""
         Bq = 1 << (len(admissions) - 1).bit_length()
         padded = admissions + [admissions[-1]] * (Bq - len(admissions))
-        ids_l, mask_l, pos_l, deltas, budgets, slots, embeds_l = \
-            [], [], [], [], [], [], []
-        any_vision = any(r.get("vision_kwargs") for r, _, _ in padded)
-        for req, budget, slot in padded:
+
+        uniq_index, uniq, src = {}, [], []
+        for req, _budget, _slot in padded:
+            vk = req.get("vision_kwargs") or None
+            key = (np.asarray(req["input_ids"]).tobytes(),
+                   np.asarray(req["attention_mask"]).tobytes(),
+                   id(vk) if vk is not None else None)
+            if key not in uniq_index:
+                uniq_index[key] = len(uniq)
+                uniq.append(req)
+            src.append(uniq_index[key])
+        Bu = 1 << (len(uniq) - 1).bit_length()
+        uniq = uniq + [uniq[-1]] * (Bu - len(uniq))
+
+        ids_l, mask_l, pos_l, deltas_u, embeds_l = [], [], [], [], []
+        any_vision = any(r.get("vision_kwargs") for r in uniq)
+        for req in uniq:
             ids, mask, pos, delta = self._pad_request(req)
             if any_vision:
                 vk = {k: jnp.asarray(v)
@@ -433,10 +479,12 @@ class ContinuousBatcher:
             ids_l.append(ids)
             mask_l.append(mask.astype(np.int32))
             pos_l.append(pos)
-            deltas.append(delta)
-            budgets.append(budget)
-            slots.append(slot)
+            deltas_u.append(delta)
         embeds = jnp.concatenate(embeds_l, axis=0) if any_vision else None
+
+        deltas = [deltas_u[s] for s in src]
+        budgets = [b for _r, b, _s in padded]
+        slots = [s for _r, _b, s in padded]
         self.state = _admit_jit(
             self.state, self.params,
             jnp.asarray(np.concatenate(ids_l, 0)), embeds,
@@ -445,6 +493,7 @@ class ContinuousBatcher:
             jnp.asarray(np.asarray(deltas, np.int32)),
             jnp.asarray(np.asarray(budgets, np.int32)),
             jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(np.asarray(src, np.int32)),
             text_cfg=self.cfg.text, attn_impl=self.attn_impl,
             temperature=self.temperature, top_p=self.top_p,
             eos_token_id=self.eos, head_major=self.head_major)

@@ -262,3 +262,35 @@ def test_generate_many_buckets_prompt_lengths():
                                  temperature=0.0, slots=2, chunk_steps=2)
     assert again == got
     assert len(engine._batchers) == n_batchers
+
+
+def test_admission_dedupes_identical_prompts(monkeypatch):
+    """An n-sampling wave (same prompt cloned into several slots — the
+    reference vLLM engine's enable_prefix_caching role) prefills ONCE:
+    the admission program receives Bu unique rows < Bq admissions, and
+    greedy clones emit exactly the single-request answer."""
+    import spacer_tpu.serving.batcher as B
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    base = _prompts(cfg, [9], seed=11)[0]
+
+    seen = []
+    real = B._admit_jit
+
+    def spy(state, params_, input_ids, *args, **kw):
+        seen.append((input_ids.shape[0], args[5].shape[0]))  # (Bu, Bq)
+        return real(state, params_, input_ids, *args, **kw)
+
+    monkeypatch.setattr(B, "_admit_jit", spy)
+    kw = dict(slots=4, prompt_len=16, max_new_tokens=8, eos_token_id=-1,
+              temperature=0.0, chunk_steps=4, dtype=jnp.float32)
+    # four clones of one request object (the server's n-path shape)
+    outs = ContinuousBatcher(cfg, params, **kw).run([dict(base)
+                                                     for _ in range(4)])
+    assert seen and seen[0] == (1, 4)  # one unique prefill, four slots
+    ref = ContinuousBatcher(cfg, params, **kw).run([base])
+    for o in outs:
+        assert o.length == ref[0].length
+        np.testing.assert_array_equal(o.sequences[:o.length],
+                                      ref[0].sequences[:ref[0].length])
