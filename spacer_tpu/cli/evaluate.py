@@ -22,14 +22,9 @@ def main(argv=None):
     from spacer_tpu.evalharness import EvalConfig, QwenEngine, run_benchmark
 
     eval_cfg, model_args = parse_configs((EvalConfig, ModelArgs), argv)
-    if eval_cfg.speculate_k:
+    if eval_cfg.speculate_k and eval_cfg.serving != "continuous":
         # fail BEFORE the checkpoint load with a clear message
-        if eval_cfg.temperature > 0.0:
-            raise SystemExit(
-                "--speculate_k needs greedy decoding: pass --temperature 0")
-        if eval_cfg.serving != "continuous":
-            raise SystemExit(
-                "--speculate_k requires --serving continuous")
+        raise SystemExit("--speculate_k requires --serving continuous")
     setup_distributed(model_args)
     cfg, params, processor, mesh = load_model_and_processor(model_args)
     engine = QwenEngine(cfg, params, processor,

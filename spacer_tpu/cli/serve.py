@@ -52,8 +52,9 @@ class ServeConfig:
     host: str = "127.0.0.1"
     port: int = 8000
     prompt_len: int = 1024        # http mode: the deployment prompt bucket
-    # greedy prompt-lookup speculative decoding: draft tokens verified per
-    # step (serving/speculative.py); needs --temperature 0
+    # prompt-lookup speculative decoding: draft tokens verified per step
+    # (serving/speculative.py); greedy at temperature 0, exact rejection
+    # sampling otherwise
     speculate_k: int = 0
 
 
@@ -77,9 +78,6 @@ def main(argv=None):
         raise SystemExit("--input_file is required (or pass --http)")
     if serve_cfg.speculate_k:
         # fail BEFORE the (minutes-long) checkpoint load, not on wave 1
-        if serve_cfg.temperature > 0.0:
-            raise SystemExit(
-                "--speculate_k needs greedy decoding: pass --temperature 0")
         if not serve_cfg.http and serve_cfg.serving != "continuous":
             raise SystemExit(
                 "--speculate_k requires --serving continuous (the static "

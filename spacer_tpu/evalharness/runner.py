@@ -46,12 +46,12 @@ class EvalConfig:
     # the vLLM-role path — requires the engine to expose generate_many)
     serving: str = "static"
     # decode temperature (reference: 0.01 for every benchmark,
-    # evaluate.py:106-118).  Set 0.0 for exact greedy — required when the
-    # engine enables speculative decoding
+    # evaluate.py:106-118).  0.0 = exact greedy
     temperature: float = 0.01
-    # greedy prompt-lookup speculative decoding (serving/speculative.py):
-    # consumed by the CLI when constructing QwenEngine; needs
-    # temperature=0.0 and serving="continuous"
+    # prompt-lookup speculative decoding (serving/speculative.py):
+    # consumed by the CLI when constructing QwenEngine; greedy at
+    # temperature 0, exact rejection sampling otherwise; needs
+    # serving="continuous"
     speculate_k: int = 0
 
 

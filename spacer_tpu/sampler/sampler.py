@@ -75,17 +75,26 @@ def _topp_threshold_bisect(logits, lse, top_p, iters: int = 24):
     return lo
 
 
-def sample_logits(logits, rng, temperature: float, top_p: float):
-    """Sample token ids from (B, V) logits with exact nucleus filtering."""
-    if temperature is None or temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1)
+def filtered_logits(logits, temperature: float, top_p: float):
+    """Temperature-scaled, nucleus-filtered f32 logits — the exact target
+    distribution sample_logits draws from (softmax of this).  Exposed so
+    the speculative sampler's rejection test targets the SAME
+    distribution as the sequential loop."""
     logits = logits.astype(jnp.float32) / temperature
     if top_p is not None and top_p < 1.0:
         lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
         kept_min = _topp_threshold_bisect(logits, lse, top_p)
         keep = logits.astype(jnp.bfloat16) >= kept_min.astype(jnp.bfloat16)
         logits = jnp.where(keep, logits, -jnp.inf)
-    return jax.random.categorical(rng, logits, axis=-1)
+    return logits
+
+
+def sample_logits(logits, rng, temperature: float, top_p: float):
+    """Sample token ids from (B, V) logits with exact nucleus filtering."""
+    if temperature is None or temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    return jax.random.categorical(
+        rng, filtered_logits(logits, temperature, top_p), axis=-1)
 
 
 def _decode_loop(

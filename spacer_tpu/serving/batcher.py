@@ -332,11 +332,6 @@ class ContinuousBatcher:
         if self.speculate_k < 0:
             raise ValueError(f"speculate_k must be >= 0, got {speculate_k}")
         if self.speculate_k:
-            if self.temperature > 0.0:
-                raise ValueError(
-                    "speculate_k needs greedy decoding (temperature=0): "
-                    "acceptance under sampling requires a rejection-"
-                    "sampling correction this engine does not implement")
             if self.head_major:
                 raise ValueError(
                     "speculate_k uses the position-major cache layout; "
@@ -531,7 +526,8 @@ class ContinuousBatcher:
                 self.state, self.layer_params, self.other_params,
                 text_cfg=self.cfg.text, chunk_steps=self.chunk_steps,
                 speculate_k=self.speculate_k, eos_token_id=self.eos,
-                pad_token_id=self.pad)
+                pad_token_id=self.pad, temperature=self.temperature,
+                top_p=self.top_p)
             return
         self.state = _chunk_jit(
             self.state, self.layer_params, self.other_params,

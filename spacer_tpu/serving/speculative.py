@@ -269,18 +269,65 @@ def _build_drafts(pids, pmask, out, cur, t, n_draft: int, pad_token: int):
     return drafts.astype(jnp.int32)
 
 
+def _speculative_sample(p, drafts, key):
+    """Exact speculative sampling with deterministic (delta) drafts.
+
+    p: (R, kb, V) target probabilities per block position (position i is
+    the distribution of the token FOLLOWING block token i); drafts
+    (R, kb-1) proposed continuations.  Standard rejection rule with
+    q = delta(draft): accept draft d_{i+1} at position i with probability
+    p_i(d_{i+1}); on the first rejection emit a sample from the residual
+    norm((p_i - q)+) = p_i conditioned on != d; if every draft is
+    accepted emit a bonus sample from the last position's p.  For every
+    position P(emit y) = p(y) exactly:
+      y == d: accept prob p(d);  y != d: (1 - p(d)) * p(y)/(1 - p(d)).
+
+    Returns (emit (R, kb) int32, a_base (R,) in [1, kb]) — emit[i] for
+    i < a_base are the step's tokens; entries past a_base are arbitrary.
+    """
+    R, kb, V = p.shape
+    ku, kr = jax.random.split(key)
+    p_draft = jnp.take_along_axis(
+        p[:, :-1], drafts[:, :, None].astype(jnp.int32), axis=-1)[..., 0]
+    u = jax.random.uniform(ku, (R, kb - 1))
+    accept = (u < p_draft).astype(jnp.int32)
+    m = jnp.cumprod(accept, axis=1).sum(axis=1)              # 0..kb-1
+    # residual/bonus samples for EVERY position, select index m after:
+    # positions < kb-1 exclude their draft; the last position is plain
+    excl = jnp.concatenate(
+        [drafts.astype(jnp.int32), jnp.full((R, 1), -1, jnp.int32)], axis=1)
+    pv = p * (jnp.arange(V)[None, None, :] != excl[:, :, None])
+    y = jax.random.categorical(kr, jnp.log(pv + 1e-30), axis=-1)
+    y = y.astype(jnp.int32)                                   # (R, kb)
+    corr = jnp.take_along_axis(y, m[:, None], axis=1)[:, 0]
+    emit = jnp.concatenate(
+        [drafts.astype(jnp.int32), y[:, -1:]], axis=1)        # (R, kb)
+    emit = jnp.where(jnp.arange(kb)[None, :] == m[:, None],
+                     corr[:, None], emit)
+    return emit, m + 1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("text_cfg", "chunk_steps", "speculate_k",
-                     "eos_token_id", "pad_token_id"),
+                     "eos_token_id", "pad_token_id", "temperature",
+                     "top_p"),
     donate_argnums=(0,),
 )
 def spec_chunk_jit(state, layer_params, other_params, *, text_cfg,
                    chunk_steps: int, speculate_k: int, eos_token_id: int,
-                   pad_token_id: int):
+                   pad_token_id: int, temperature: float = 0.0,
+                   top_p: float = 1.0):
     """Run up to chunk_steps speculative block steps (early exit on
     all-done).  State schema shared with the ring batcher; `clock`/`admit`
-    pass through untouched (speculation is positionally indexed)."""
+    pass through untouched (speculation is positionally indexed).
+
+    temperature == 0: greedy verification (deterministic, bit-matches the
+    sequential loop).  temperature > 0: exact speculative sampling — the
+    emitted-token distribution equals the sequential sampler's
+    (softmax of sampler.filtered_logits) at every position, though the
+    rng STREAM differs (acceptance changes consumption), so outputs match
+    in distribution, not token-for-token."""
     L = text_cfg.num_layers
     layers = split_layers(layer_params, L)
     R, Pmax = state["pmask"].shape
@@ -291,6 +338,7 @@ def spec_chunk_jit(state, layer_params, other_params, *, text_cfg,
     delta = state["delta"]
     maxnew = state["maxnew"]
     rows_k = jnp.arange(kb)
+    sampled = temperature is not None and temperature > 0.0
 
     def body(carry):
         i, caches, cur, t, done, out, spec, rng = carry
@@ -303,12 +351,22 @@ def spec_chunk_jit(state, layer_params, other_params, *, text_cfg,
             (pos_base[:, None] + rows_k[None, :])[None], (3, R, kb))
         logits, caches = spec_decode_step(
             layers, other_params, text_cfg, toks, pos3, caches, pmask, t)
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (R, kb)
 
-        # accepted = leading run where pred[i] == draft[i], plus the first
-        # correction: a in [1, kb] emitted tokens preds[0..a-1]
-        hit = (preds[:, :-1] == drafts).astype(jnp.int32)
-        a = jnp.cumprod(hit, axis=1).sum(axis=1) + 1          # (R,)
+        if sampled:
+            from spacer_tpu.sampler.sampler import filtered_logits
+
+            V = logits.shape[-1]
+            p = jax.nn.softmax(
+                filtered_logits(logits.reshape(R * kb, V), temperature,
+                                top_p).reshape(R, kb, V), axis=-1)
+            rng, sub = jax.random.split(rng)
+            preds, a = _speculative_sample(p, drafts, sub)
+        else:
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # accepted = leading run where pred[i] == draft[i], plus the
+            # first correction: a in [1, kb] emitted tokens preds[0..a-1]
+            hit = (preds[:, :-1] == drafts).astype(jnp.int32)
+            a = jnp.cumprod(hit, axis=1).sum(axis=1) + 1      # (R,)
         # cap at the first emitted EOS (inclusive) and the budget
         is_eos = preds == eos_token_id
         f = jnp.where(is_eos.any(axis=1),

@@ -80,10 +80,10 @@ def test_speculative_full_budget_rows():
 def test_speculative_scope_validation():
     cfg = tiny_config()
     params = init_params(jax.random.key(0), cfg, jnp.float32)
-    with pytest.raises(ValueError, match="greedy"):
+    with pytest.raises(ValueError, match=">= 0"):
         ContinuousBatcher(cfg, params, slots=1, prompt_len=8,
-                          max_new_tokens=4, temperature=0.7,
-                          dtype=jnp.float32, speculate_k=2)
+                          max_new_tokens=4, temperature=0.0,
+                          dtype=jnp.float32, speculate_k=-1)
     with pytest.raises(ValueError, match="position-major"):
         ContinuousBatcher(cfg, params, slots=1, prompt_len=8,
                           max_new_tokens=4, temperature=0.0,
@@ -161,6 +161,51 @@ def test_speculative_serves_aria_family():
     plain = ContinuousBatcher(cfg, params, **kw).run(reqs)
     spec = ContinuousBatcher(cfg, params, **kw, speculate_k=2).run(reqs)
     _assert_same(plain, spec)
+
+
+def test_speculative_sample_is_exact():
+    """Rejection-sampling exactness with delta drafts: for any fixed
+    target distribution p and any draft token, P(emit y) == p(y).  Monte
+    Carlo over many independent rows with a fixed key (deterministic)."""
+    from spacer_tpu.serving.speculative import _speculative_sample
+
+    V, N = 8, 120_000
+    rng = np.random.RandomState(0)
+    base = rng.dirichlet(np.ones(V))           # one target distribution
+    # two positions per block (k=1 drafts + bonus); same p at both
+    p = jnp.asarray(np.broadcast_to(base, (N, 2, V)).copy(), jnp.float32)
+    draft = int(np.argsort(base)[-2])          # a mid-probability draft
+    drafts = jnp.full((N, 1), draft, jnp.int32)
+    emit, a = _speculative_sample(p, drafts, jax.random.key(7))
+
+    first = np.asarray(emit[:, 0])
+    freq = np.bincount(first, minlength=V) / N
+    # 5-sigma binomial tolerance per bin
+    tol = 5 * np.sqrt(base * (1 - base) / N)
+    np.testing.assert_array_less(np.abs(freq - base), tol + 1e-12)
+    # acceptance rate of the delta draft == p(draft)
+    acc = float((np.asarray(a) == 2).mean())
+    assert abs(acc - base[draft]) < 5 * np.sqrt(
+        base[draft] * (1 - base[draft]) / N)
+
+
+def test_speculative_sampled_e2e():
+    """temperature > 0 speculation runs end-to-end: in-vocab outputs,
+    budget respected, telemetry sane; clones differ (independent rng)."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    reqs = [_req(cfg, 10, 400 + i) for i in range(4)]
+    b = ContinuousBatcher(
+        cfg, params, slots=2, prompt_len=16, max_new_tokens=20,
+        eos_token_id=11, temperature=1.0, top_p=0.95, chunk_steps=4,
+        dtype=jnp.float32, speculate_k=2)
+    outs = b.run(reqs)
+    for o in outs:
+        assert 1 <= o.length <= 20
+        toks = np.asarray(o.sequences[:o.length])
+        assert toks.min() >= 0 and toks.max() < cfg.text.vocab_size
+    stats = b.spec_stats
+    assert stats["steps"] > 0 and stats["tokens"] >= stats["steps"]
 
 
 def test_engine_generate_many_speculative():
