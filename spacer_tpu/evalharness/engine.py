@@ -32,9 +32,10 @@ class QwenEngine:
         self.processor = processor
         self.top_p = top_p
         self.seed = seed
-        # greedy prompt-lookup speculation for generate_many
-        # (serving/speculative.py); requires temperature=0 calls — the
-        # batcher rejects the combination otherwise
+        # prompt-lookup speculation for generate_many
+        # (serving/speculative.py): bit-exact greedy at temperature 0,
+        # exact rejection sampling otherwise (outputs then match the
+        # sequential sampler in DISTRIBUTION, not token-for-token)
         self.speculate_k = int(speculate_k)
         self._calls = 0
         self._batchers: dict = {}   # geometry key -> ContinuousBatcher

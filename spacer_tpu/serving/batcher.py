@@ -326,8 +326,9 @@ class ContinuousBatcher:
             raise ValueError(
                 f"unknown decode_quant {decode_quant!r} "
                 "(expected None, 'int8' or 'int8_kv')")
-        # speculative decoding (serving/speculative.py): greedy-only v1
-        # over the position-major bf16/f32 caches
+        # speculative decoding (serving/speculative.py): position-major
+        # caches only; greedy is bit-exact, sampling is exact-in-
+        # distribution (rejection rule)
         self.speculate_k = int(speculate_k)
         if self.speculate_k < 0:
             raise ValueError(f"speculate_k must be >= 0, got {speculate_k}")

@@ -1,5 +1,6 @@
-"""Greedy speculative decoding (prompt-lookup drafts) for the continuous
-batcher.
+"""Speculative decoding (prompt-lookup drafts) for the continuous
+batcher: bit-exact greedy verification at temperature 0, exact
+rejection sampling otherwise.
 
 Role parity and beyond: the reference's serving engine (vLLM 0.7.2,
 vllm_grpo_trainer_modified.py:359-384) ships n-gram "prompt lookup"
@@ -43,11 +44,13 @@ Design (TPU-first, scatter-free):
   clock-indexed.  Admission (prefill + slot insert) is shared with the
   ring batcher unchanged.
 
-v1 scope: greedy only (temperature == 0 — acceptance under sampling
-needs the rejection-sampling correction) and the position-major cache
-layout (no flash/head-major).  int8 weights and int8_kv caches compose:
-the per-(position, head) scales ride the same one-hot block writes.
-The batcher validates the scope at construction.
+Scope: the position-major cache layout (no flash/head-major — the
+batcher validates this at construction).  int8 weights and int8_kv
+caches compose: the per-(position, head) scales ride the same one-hot
+block writes.  temperature == 0 verifies greedily (bit-exact vs the
+sequential loop); temperature > 0 runs exact speculative sampling
+(_speculative_sample) targeting the same nucleus-filtered distribution
+as the sequential sampler.
 """
 
 from __future__ import annotations

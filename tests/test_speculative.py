@@ -1,6 +1,6 @@
-"""Greedy speculative decoding (serving/speculative.py): bit-identical
-greedy parity with the clock-ring batcher, acceptance telemetry, and the
-v1 scope validation.
+"""Speculative decoding (serving/speculative.py): bit-identical greedy
+parity with the clock-ring batcher, exact-in-distribution sampling,
+acceptance telemetry, and scope validation.
 
 Role parity: the reference's serving engine (vLLM 0.7.2,
 vllm_grpo_trainer_modified.py:359-384) ships n-gram prompt-lookup
@@ -189,6 +189,41 @@ def test_speculative_sample_is_exact():
         base[draft] * (1 - base[draft]) / N)
 
 
+def test_speculative_sample_multi_draft_chain():
+    """k=2 with DISTINCT per-position distributions: position-0 marginal,
+    the continuation chain P(a>=2)=p0(d1), P(a>=3 | a>=2)=p1(d2), and the
+    position-1 marginal CONDITIONED on acceptance at position 0 must all
+    match — pins the excl/m position indexing the k=1 test cannot see."""
+    from spacer_tpu.serving.speculative import _speculative_sample
+
+    V, N = 8, 150_000
+    rng = np.random.RandomState(1)
+    p0, p1, p2 = (rng.dirichlet(np.ones(V)) for _ in range(3))
+    p = jnp.asarray(np.broadcast_to(
+        np.stack([p0, p1, p2]), (N, 3, V)).copy(), jnp.float32)
+    d1, d2 = int(np.argsort(p0)[-2]), int(np.argsort(p1)[-3])
+    drafts = jnp.asarray(np.broadcast_to(
+        np.array([d1, d2], np.int32), (N, 2)).copy())
+    emit, a = _speculative_sample(p, drafts, jax.random.key(11))
+    emit, a = np.asarray(emit), np.asarray(a)
+
+    def close(x, q, n):
+        assert abs(x - q) < 5 * np.sqrt(max(q * (1 - q), 1e-6) / n), (x, q)
+
+    close(float((a >= 2).mean()), p0[d1], N)                 # accept d1
+    acc0 = a >= 2
+    close(float((a[acc0] >= 3).mean()), p1[d2], int(acc0.sum()))
+    # position-0 marginal == p0 (bin-wise)
+    freq0 = np.bincount(emit[:, 0], minlength=V) / N
+    np.testing.assert_array_less(
+        np.abs(freq0 - p0), 5 * np.sqrt(p0 * (1 - p0) / N) + 1e-12)
+    # position-1 marginal GIVEN acceptance at 0 == p1
+    n1 = int(acc0.sum())
+    freq1 = np.bincount(emit[acc0, 1], minlength=V) / n1
+    np.testing.assert_array_less(
+        np.abs(freq1 - p1), 5 * np.sqrt(p1 * (1 - p1) / n1) + 1e-12)
+
+
 def test_speculative_sampled_e2e():
     """temperature > 0 speculation runs end-to-end: in-vocab outputs,
     budget respected, telemetry sane; clones differ (independent rng)."""
@@ -206,6 +241,15 @@ def test_speculative_sampled_e2e():
         assert toks.min() >= 0 and toks.max() < cfg.text.vocab_size
     stats = b.spec_stats
     assert stats["steps"] > 0 and stats["tokens"] >= stats["steps"]
+    # clones of the SAME prompt sample independently (at temperature 1 on
+    # a random model, 4 identical 20-token completions are ~impossible)
+    clones = ContinuousBatcher(
+        cfg, params, slots=2, prompt_len=16, max_new_tokens=20,
+        eos_token_id=-1, temperature=1.0, top_p=0.95, chunk_steps=4,
+        dtype=jnp.float32, speculate_k=2).run(
+            [dict(reqs[0]) for _ in range(4)])
+    seqs = {tuple(np.asarray(o.sequences[:o.length])) for o in clones}
+    assert len(seqs) > 1
 
 
 def test_engine_generate_many_speculative():
