@@ -134,8 +134,15 @@ def ragged(quant=True):
 
 
 if __name__ == "__main__":
-    grouped(quant=True)
-    grouped(quant=False)
-    ragged(quant=True)
-    ragged(quant=False)
+    import sys
+
+    parts = sys.argv[1:] or ["gq", "g", "rq", "r"]
+    if "gq" in parts:
+        grouped(quant=True)
+    if "g" in parts:
+        grouped(quant=False)
+    if "rq" in parts:
+        ragged(quant=True)
+    if "r" in parts:
+        ragged(quant=False)
     print("done", flush=True)
