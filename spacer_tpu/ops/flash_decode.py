@@ -12,7 +12,15 @@ This kernel fuses logits -> online-softmax -> value matmul into one VMEM-
 resident program per kv-head (the WHOLE batch rides in-cell: a finer
 (prompt, kv-head, chunk) grid measured 355us/call vs XLA's 277us at
 bench shapes purely from ~1.4us/cell fixed grid overhead) and walks
-prefix chunks then tail chunks as the innermost grid axis.  Properties:
+prefix chunks then tail chunks as the innermost grid axis.  Measured on
+the v5e chip (tools/chip_measure_decode.py, 2026-08-18): the grouped
+kernel beats XLA 1.07x at int8 / 1.13x at bf16 per layer call, and
+end-to-end the head-major flash rollout cuts the headline iteration's
+int8 rollout phase 3.99s -> 3.43s (bench.py: 6.27 -> 6.63 samples/s) —
+so the Sampler's auto decode_impl now resolves to this kernel on TPU.
+The RAGGED serving variant is a dead heat with XLA at serving shapes
+(158 vs 158 us int8, 197 vs 197 us bf16), so the ContinuousBatcher's
+auto stays on the einsum path.  Properties:
 
 - int8 KV (ops/quant.py quantize_kv codes + per-(position,head) scales)
   dequantizes in VMEM: K scales multiply the f32 logits, V scales fold

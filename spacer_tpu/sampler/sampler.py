@@ -387,17 +387,34 @@ class Sampler:
                 f"unknown decode_impl {self.decode_impl!r} "
                 "(expected None, 'xla', 'flash' or 'flash_ref')")
 
-    def _resolve_decode_impl(self) -> str | None:
+    def _resolve_decode_impl(
+        self, prompt_bucket: int | None = None,
+        max_new_tokens: int | None = None, compaction: bool = False,
+    ) -> str | None:
         if self.decode_impl in ("xla",):
             return None
         if self.decode_impl in ("flash", "flash_ref"):
             return self.decode_impl
-        # auto: XLA.  The fused kernel is opt-in until it beats the XLA
-        # einsum path on-chip: the first (B, Hkv, chunk) grid measured
-        # 355us vs XLA's 277us per decode-layer call at bench shapes
-        # (B=8, G=8, P=2048, T=1024 int8), entirely per-grid-cell fixed
-        # overhead; the restructured whole-batch-per-cell grid is unproven
-        # on hardware.  Flip here once measurement says otherwise.
+        # auto: the fused flash-decode kernel on real TPU when its tiling
+        # holds, XLA everywhere else.  Measured on-chip 2026-08-18 (v5e,
+        # tools/chip_measure_decode.py + bench.py iteration): the
+        # whole-batch-per-cell grouped kernel beats the XLA einsum path
+        # 1.07x (int8) / 1.13x (bf16) per layer call, and end-to-end the
+        # head-major flash rollout cuts the headline iteration's int8
+        # rollout phase 3.99s -> 3.43s (6.27 -> 6.63 samples/s/chip).
+        # Compaction decode has no head-major path, and on CPU the Mosaic
+        # kernel cannot run (interpret mode is test-only).
+        if compaction or prompt_bucket is None or max_new_tokens is None:
+            return None
+        if jax.default_backend() != "tpu":
+            return None
+        from spacer_tpu.ops.flash_decode import flash_decode_supported
+
+        cfg = self.cfg
+        GQ = cfg.text.num_heads // cfg.text.num_kv_heads
+        if flash_decode_supported(prompt_bucket, max_new_tokens,
+                                  cfg.text.head_dim, GQ):
+            return "flash"
         return None
 
     def _bucket(self, n: int) -> int:
@@ -475,8 +492,10 @@ class Sampler:
         temp = float(temperature) if temperature is not None else 0.0
         topp = float(top_p) if top_p is not None else 1.0
         stats = None
-        resolved_impl = self._resolve_decode_impl()
-        if resolved_impl == "flash":
+        resolved_impl = self._resolve_decode_impl(
+            prompt_bucket=Sb, max_new_tokens=max_new_tokens,
+            compaction=compaction)
+        if self.decode_impl == "flash":
             # Mosaic legality is enforced on real TPU only (interpret mode
             # passes illegal tilings), so an explicit kernel request with
             # illegal geometry must fail HERE with a clear message, not die

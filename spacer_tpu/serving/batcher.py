@@ -301,10 +301,12 @@ class ContinuousBatcher:
                         f"max_new_tokens={max_new_tokens}. Use "
                         f"decode_impl='xla' or adjust the buckets.")
         elif decode_impl in (None, "xla"):
-            # auto = XLA: the fused ring kernel is opt-in until an on-chip
-            # measurement shows it beating the einsum path (see
-            # Sampler._resolve_decode_impl for the grouped-kernel numbers
-            # that motivated this default)
+            # auto = XLA: measured on-chip (tools/chip_measure_decode.py,
+            # v5e 2026-08-18) the fused ring kernel is a dead heat with
+            # the einsum path at serving shapes — 158.2 vs 157.9 us/call
+            # int8, 196.5 vs 196.6 us/call bf16 — so the simpler XLA path
+            # keeps the default (the grouped SAMPLER kernel, by contrast,
+            # wins 7-13% and auto-resolves to flash there)
             resolved = None
         else:
             raise ValueError(
