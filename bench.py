@@ -468,8 +468,13 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
     remat_mode = _os.environ.get("SPACER_BENCH_REMAT", "dots_narrow")
     remat = {"1": True, "dots": "dots", "dots_narrow": "dots_narrow",
              "0": False}[remat_mode]
-    step = make_grpo_train_step(cfg, tx, beta=0.04, remat=remat,
-                                logp_chunk=256)
+    logp_chunk = int(_os.environ.get("SPACER_BENCH_LOGP_CHUNK", "256"))
+    # SPACER_BENCH_BETA=0 skips the reference forward entirely (TRL beta=0
+    # semantics) — a measurement knob to size the ref forward's share of
+    # the update phase, NOT a headline configuration (reference beta=0.04)
+    beta = float(_os.environ.get("SPACER_BENCH_BETA", "0.04"))
+    step = make_grpo_train_step(cfg, tx, beta=beta, remat=remat,
+                                logp_chunk=logp_chunk)
     # programs per optimizer update: B = per-group sequential (single-chip
     # memory fallback), 1 = the one-program batched form
     update_groups = int(_os.environ.get("SPACER_BENCH_UPDATE_GROUPS", B))

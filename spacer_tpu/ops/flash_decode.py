@@ -234,8 +234,13 @@ def flash_decode_attention(
     N = B * G
     quant = pk_scale is not None
     itemsize = 1 if quant else 2
-    chunk_p = _chunk_budget(P, B, itemsize)
-    chunk_t = _chunk_budget(T, N, itemsize, candidates=(256, 128))
+    import os
+
+    budget = int(os.environ.get("SPACER_FLASH_CHUNK_BUDGET",
+                                2 * 1024 * 1024))
+    chunk_p = _chunk_budget(P, B, itemsize, budget=budget)
+    chunk_t = _chunk_budget(T, N, itemsize, budget=budget,
+                            candidates=(256, 128))
     NP = P // chunk_p
     NT = T // chunk_t
 
