@@ -601,6 +601,97 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
     }
 
 
+def bench_rollout_spec(B=8, G=8, P_len=2048, C=1024, k=3, *, cfg=None):
+    """TRAINER rollout phase with vs without speculative decoding
+    (sampler/speculating.py), at headline bench geometry, int8_kv.
+
+    Two regimes bracket the real-workload envelope (acceptance is
+    workload-dependent and random weights cannot reproduce a trained
+    model's peaked sampling distribution):
+      - greedy (temperature 0): random-weight models self-repeat, so
+        prompt-lookup drafts hit often — the FAVORABLE regime, and the
+        regime real CoT eval decodes (temperature 0.01, quoting
+        question/option text) resemble.
+      - sampled (temperature 1.0, top_p 0.95): random-init logits are
+        near-flat, so draft acceptance ~ 1/|nucleus| — the ADVERSARIAL
+        floor.  A trained model at temperature 1.0 sits in between
+        (trained distributions are peaked; measured acceptance is
+        reported by the trainer as spec_acceptance).
+    The sequential baselines use the sampler's auto decode_impl (the
+    flash kernel on TPU), so speedups are vs the best shipping path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from spacer_tpu.models.qwen25_vl.config import (
+        Qwen25VLConfig, TextConfig, VisionConfig,
+    )
+    from spacer_tpu.models.qwen25_vl import init_params
+    from spacer_tpu.sampler import Sampler
+
+    if cfg is None:
+        cfg = Qwen25VLConfig(
+            text=TextConfig(
+                vocab_size=49152, hidden_size=2048, intermediate_size=8192,
+                num_layers=12, num_heads=16, num_kv_heads=4,
+                mrope_section=(16, 24, 24),
+            ),
+            vision=VisionConfig(depth=8, fullatt_block_indexes=(3, 7),
+                                out_hidden_size=2048),
+            image_token_id=49149, video_token_id=49150,
+            vision_start_token_id=49148, vision_end_token_id=49151,
+        )
+    params = jax.jit(lambda key: init_params(key, cfg, jnp.bfloat16))(
+        jax.random.key(0))
+    jax.block_until_ready(params)
+    print("# rollout_spec init done", flush=True)
+
+    rng = np.random.default_rng(0)
+    id_hi = min(49000, cfg.text.vocab_size - 8)
+    prompt_ids = rng.integers(10, id_hi, size=(B, P_len)).astype(np.int32)
+    # real prompts repeat phrases; give lookup something representative
+    prompt_ids[:, P_len // 2:] = prompt_ids[:, : P_len - P_len // 2]
+    prompt_mask = np.ones((B, P_len), np.int64)
+    pos = np.broadcast_to(
+        np.arange(P_len)[None, None], (3, B, P_len)).astype(np.int32)
+    deltas = np.zeros((B, 1), np.int32)
+
+    def run(spec_k, temp, seed):
+        s = Sampler(cfg, eos_token_id=-1, pad_token_id=0,
+                    length_bucket=P_len, decode_quant="int8_kv",
+                    speculate_k=spec_k)
+        return s.generate(
+            prompt_ids, prompt_mask, params, position_ids=pos,
+            deltas=deltas, num_generations=G, max_new_tokens=C,
+            temperature=temp, top_p=0.95, seed=seed)
+
+    out = {}
+    for name, temp in (("greedy", 0.0), ("sampled", 1.0)):
+        for label, spec_k in (("seq", 0), (f"spec_k{k}", k)):
+            run(spec_k, temp, 0)  # compile
+            t0 = time.perf_counter()
+            res = run(spec_k, temp, 1)
+            res2 = run(spec_k, temp, 2)
+            dt = (time.perf_counter() - t0) / 2
+            out[f"{name}_{label}_s"] = round(dt, 3)
+            if res.stats:
+                out[f"{name}_acceptance"] = round(
+                    (res.stats["spec_acceptance"]
+                     + res2.stats["spec_acceptance"]) / 2, 3)
+            print(f"# {name} {label}: {dt:.3f}s", flush=True)
+    return {
+        "metric": "rollout_spec_speedup_greedy",
+        "value": round(out["greedy_seq_s"] / out[f"greedy_spec_k{k}_s"], 3),
+        "unit": "x vs sequential rollout",
+        "vs_baseline": round(
+            out["sampled_seq_s"] / out[f"sampled_spec_k{k}_s"], 3),
+        **out, "speculate_k": k, "B": B, "G": G,
+        "prompt_len": P_len, "C": C,
+        "note": ("vs_baseline = sampled-regime speedup (random-weight "
+                 "flat-logits floor); value = greedy regime"),
+    }
+
+
 def bench_rollout_waste(P_len=2048, C=512, G=8):
     """Measure the EOS-tail waste of lockstep grouped decode (VERDICT r2 #2).
 
@@ -985,6 +1076,9 @@ def main(mode="all"):
         return
     if mode == "rollout_waste":
         print(json.dumps(bench_rollout_waste()))
+        return
+    if mode == "rollout_spec":
+        print(json.dumps(bench_rollout_spec()))
         return
     if mode == "speculative":
         print(json.dumps(bench_speculative()))

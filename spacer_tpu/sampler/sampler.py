@@ -97,41 +97,17 @@ def sample_logits(logits, rng, temperature: float, top_p: float):
         rng, filtered_logits(logits, temperature, top_p), axis=-1)
 
 
-def _decode_loop(
-    params, text_cfg, prefix_cache, prefix_mask, tail_cache, first_tokens,
-    deltas, prompt_len, group: int, max_new_tokens: int, temperature: float,
-    top_p: float, eos_token_id: int, rng, decode_quant=None,
-    decode_impl=None,
-):
-    """Shared-prefix autoregressive loop. Returns tokens (B*G, max_new).
+def _prep_decode(params, text_cfg, prefix_cache, tail_cache,
+                 decode_quant=None, head_major: bool = False):
+    """Shared decode-loop preamble: split params and both KV caches into
+    per-layer buffers (decode is HBM-bound — see _decode_loop docstring),
+    apply weight quantization, optionally transpose to the head-major
+    flash layout, and quantize the prefix / zero-init int8 tails for
+    int8_kv.  Returns (params, layers, prefix_split, tail_split).  Used
+    by the sequential loop AND the speculative grouped loop
+    (sampler/speculating.py) so the two paths read identical state."""
+    from spacer_tpu.models.qwen25_vl.language import split_layers
 
-    Decode is HBM-bound, so params and both KV caches are split into
-    per-layer buffers ONCE before the loop: every matmul then reads its
-    operand directly instead of paying lax.scan's per-step slice copies and
-    stacked tail-cache rebuilds (~2x per-step HBM traffic at 2k prefix).
-
-    decode_quant="int8": the loop reads weight-only-quantized layer params
-    (ops/quant.py) — half the per-token weight bytes; the one-time
-    quantize pass is amortized over max_new_tokens steps.  Prefill and the
-    train step stay bf16 (see ops/quant.py docstring for why this is
-    sound for GRPO).
-
-    decode_quant="int8_kv": int8 weights AND int8 KV caches (per-vector
-    scales, ops/quant.py quantize_kv) — also halves the per-step prefix +
-    tail cache reads, the dominant term at long prefixes/completions.
-
-    decode_impl="flash": head-major cache layout + the fused flash-decode
-    Pallas kernel (ops/flash_decode.py) — logits/softmax/value matmul stay
-    in VMEM and dead tail-bucket space is never read.  "flash_ref" runs
-    the same layout through the kernel's XLA reference (CPU-testable).
-    None/"xla" keeps the einsum path.
-    """
-    from spacer_tpu.models.qwen25_vl.language import (
-        lm_decode_step_split,
-        split_layers,
-    )
-
-    N = first_tokens.shape[0]
     L = text_cfg.num_layers
     layer_params = params["model"]["layers"]
     if decode_quant in ("int8", "int8_kv"):
@@ -146,7 +122,6 @@ def _decode_loop(
     layers = split_layers(layer_params, L)
     prefix_split = split_layers((prefix_cache["k"], prefix_cache["v"]), L)
     tail_split = split_layers((tail_cache["k"], tail_cache["v"]), L)
-    head_major = decode_impl in ("flash", "flash_ref")
     if head_major:
         # flash-decode layout: (B, P, Hkv, Dh) -> (B, Hkv, P, Dh) once per
         # generate call (amortized over the decode); tails are still zeros
@@ -177,6 +152,46 @@ def _decode_loop(
                     jnp.zeros(sshape, jnp.float32))
 
         tail_split = tuple(quant_tail(e) for e in tail_split)
+    return params, layers, prefix_split, tail_split
+
+
+def _decode_loop(
+    params, text_cfg, prefix_cache, prefix_mask, tail_cache, first_tokens,
+    deltas, prompt_len, group: int, max_new_tokens: int, temperature: float,
+    top_p: float, eos_token_id: int, rng, decode_quant=None,
+    decode_impl=None,
+):
+    """Shared-prefix autoregressive loop. Returns tokens (B*G, max_new).
+
+    Decode is HBM-bound, so params and both KV caches are split into
+    per-layer buffers ONCE before the loop (_prep_decode): every matmul
+    then reads its operand directly instead of paying lax.scan's per-step
+    slice copies and stacked tail-cache rebuilds (~2x per-step HBM traffic
+    at 2k prefix).
+
+    decode_quant="int8": the loop reads weight-only-quantized layer params
+    (ops/quant.py) — half the per-token weight bytes; the one-time
+    quantize pass is amortized over max_new_tokens steps.  Prefill and the
+    train step stay bf16 (see ops/quant.py docstring for why this is
+    sound for GRPO).
+
+    decode_quant="int8_kv": int8 weights AND int8 KV caches (per-vector
+    scales, ops/quant.py quantize_kv) — also halves the per-step prefix +
+    tail cache reads, the dominant term at long prefixes/completions.
+
+    decode_impl="flash": head-major cache layout + the fused flash-decode
+    Pallas kernel (ops/flash_decode.py) — logits/softmax/value matmul stay
+    in VMEM and dead tail-bucket space is never read.  "flash_ref" runs
+    the same layout through the kernel's XLA reference (CPU-testable).
+    None/"xla" keeps the einsum path.
+    """
+    from spacer_tpu.models.qwen25_vl.language import lm_decode_step_split
+
+    N = first_tokens.shape[0]
+    head_major = decode_impl in ("flash", "flash_ref")
+    params, layers, prefix_split, tail_split = _prep_decode(
+        params, text_cfg, prefix_cache, tail_cache,
+        decode_quant=decode_quant, head_major=head_major)
 
     tokens0 = jnp.zeros((N, max_new_tokens), jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first_tokens.astype(jnp.int32))
@@ -308,6 +323,56 @@ def _generate_jit(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "text_cfg", "num_generations", "max_new_tokens", "temperature",
+        "top_p", "eos_token_id", "pad_token_id", "attn_impl",
+        "decode_quant", "speculate_k",
+    ),
+)
+def _generate_spec_jit(
+    params, text_cfg, input_ids, input_embeds, position_ids, prompt_mask,
+    deltas, rng, *, num_generations: int, max_new_tokens: int,
+    temperature: float, top_p: float, eos_token_id: int, pad_token_id: int,
+    speculate_k: int, attn_impl=None, decode_quant=None,
+):
+    """Speculative variant of _generate_jit: same prefill + shared-prefix
+    cache layout, then the block-verification loop
+    (sampler/speculating.py) instead of the sequential decode.  Needs the
+    prompt token ids (B, S) for n-gram draft lookup.  Returns
+    (tokens (B*G, max_new), spec (2,) int32 acceptance telemetry)."""
+    from spacer_tpu.sampler.speculating import spec_decode_loop
+
+    B, S, _ = input_embeds.shape
+    G = num_generations
+
+    prefix_cache = init_kv_cache(text_cfg, B, S, dtype=input_embeds.dtype)
+    prefix_mask = prompt_mask.astype(bool)
+    logits, prefix_cache = lm_forward(
+        params["model"], text_cfg, input_embeds=input_embeds,
+        position_ids=position_ids, kv_mask=prefix_mask, cache=prefix_cache,
+        cache_index=0, attn_impl=attn_impl,
+    )
+    last_logits = jnp.repeat(logits[:, -1], G, axis=0)  # (B*G, V)
+    deltas_rep = jnp.repeat(deltas.reshape(-1), G, axis=0)
+
+    tail_cache = init_kv_cache(text_cfg, B * G, max_new_tokens,
+                               dtype=input_embeds.dtype)
+    params, layers, prefix_split, tail_split = _prep_decode(
+        params, text_cfg, prefix_cache, tail_cache,
+        decode_quant=decode_quant, head_major=False)
+
+    rng, sub = jax.random.split(rng)
+    first = sample_logits(last_logits, sub, temperature, top_p)
+    temp = 0.0 if temperature is None else float(temperature)
+    return spec_decode_loop(
+        params, text_cfg, layers, prefix_split, prefix_mask, tail_split,
+        first, input_ids, prompt_mask, deltas_rep, S, G, max_new_tokens,
+        temp, top_p, eos_token_id, pad_token_id, speculate_k, rng,
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "grid_thw", "attn_impl", "family_name"),
 )
 def _prologue_jit(params, ids, vision_kwargs, *, cfg, grid_thw, attn_impl,
@@ -351,7 +416,8 @@ class Sampler:
     def __init__(self, cfg, eos_token_id: int | None = None,
                  pad_token_id: int | None = None, attn_impl: str | None = None,
                  length_bucket: int = 128, decode_quant: str | None = None,
-                 decode_impl: str | None = None):
+                 decode_impl: str | None = None,
+                 speculate_k: int | None = None):
         import os
 
         from spacer_tpu.models.registry import family_for_config
@@ -386,6 +452,22 @@ class Sampler:
             raise ValueError(
                 f"unknown decode_impl {self.decode_impl!r} "
                 "(expected None, 'xla', 'flash' or 'flash_ref')")
+        # prompt-lookup speculative rollout decode (sampler/speculating.py):
+        # kb = 1 + speculate_k tokens verified per block step.  0 = off.
+        self.speculate_k = int(
+            speculate_k if speculate_k is not None
+            else os.environ.get("SPACER_SPEC_K", "0") or 0
+        )
+        if self.speculate_k < 0:
+            raise ValueError(f"speculate_k must be >= 0, got "
+                             f"{self.speculate_k}")
+        if self.speculate_k > 0 and self.decode_impl in ("flash",
+                                                         "flash_ref"):
+            raise ValueError(
+                "speculative rollout decode uses the position-major block "
+                "path; decode_impl='flash'/'flash_ref' has no block "
+                "variant — use decode_impl='xla' (or None) with "
+                "speculate_k > 0")
 
     def _resolve_decode_impl(
         self, prompt_bucket: int | None = None,
@@ -440,6 +522,7 @@ class Sampler:
         seed: int | jax.Array = 0,
         compaction: bool = False,
         chunk_steps: int = 64,
+        speculate_k: int | None = None,
     ) -> SampleOutput:
         cfg = self.cfg
         # host-side guard: an out-of-vocab id would hit JAX's out-of-bounds
@@ -492,6 +575,35 @@ class Sampler:
         temp = float(temperature) if temperature is not None else 0.0
         topp = float(top_p) if top_p is not None else 1.0
         stats = None
+        spec_k = (self.speculate_k if speculate_k is None
+                  else int(speculate_k))
+        if spec_k > 0:
+            if compaction:
+                raise ValueError(
+                    "speculate_k > 0 and compaction=True are mutually "
+                    "exclusive rollout schedulers")
+            tokens, spec = _generate_spec_jit(
+                params, cfg.text, ids, token_embeds,
+                jnp.asarray(position_ids), jnp.asarray(attention_mask),
+                jnp.asarray(deltas), rng,
+                num_generations=num_generations,
+                max_new_tokens=max_new_tokens, temperature=temp,
+                top_p=topp, eos_token_id=self.eos_token_id,
+                pad_token_id=self.pad_token_id, speculate_k=spec_k,
+                attn_impl=self.attn_impl, decode_quant=self.decode_quant,
+            )
+            tokens = np.asarray(tokens)
+            spec = np.asarray(spec)
+            mask = completion_mask_from_ids(tokens, self.eos_token_id)
+            return SampleOutput(
+                sequences=tokens, completion_mask=mask,
+                lengths=mask.sum(axis=1),
+                stats={
+                    "spec_row_steps": int(spec[0]),
+                    "spec_tokens": int(spec[1]),
+                    "spec_acceptance": float(spec[1]) / max(int(spec[0]), 1),
+                },
+            )
         resolved_impl = self._resolve_decode_impl(
             prompt_bucket=Sb, max_new_tokens=max_new_tokens,
             compaction=compaction)

@@ -130,6 +130,14 @@ class SGRLVRConfig:
     # rollout decode attention impl: None (auto) | "xla" | "flash" |
     # "flash_ref" (Sampler._resolve_decode_impl)
     decode_impl: Optional[str] = None
+    # prompt-lookup speculative rollout decode (sampler/speculating.py):
+    # verify 1 + k tokens per block step — exact (greedy bit-exact;
+    # sampled matches the sequential distribution).  0 = off.  The win is
+    # proportional to draft acceptance, which depends on how self-
+    # referential the model's completions are — enable for real
+    # checkpoints (CoT traces quote the question/options heavily); see
+    # spec_acceptance in the trainer metrics for the live rate.
+    speculate_k: int = 0
 
 
 class SGRLVRTrainer:
@@ -209,6 +217,7 @@ class SGRLVRTrainer:
             length_bucket=args.prompt_bucket,
             decode_quant=args.decode_quant,
             decode_impl=args.decode_impl,
+            speculate_k=args.speculate_k,
         )
         self.step_fn = make_grpo_train_step(
             cfg, self.tx, beta=args.beta, remat=args.remat,
@@ -439,6 +448,7 @@ class SGRLVRTrainer:
                 sequences=out_all.sequences[:n_main],
                 completion_mask=out_all.completion_mask[:n_main],
                 lengths=out_all.lengths[:n_main],
+                stats=out_all.stats,
             )
             s_out = SampleOutput(
                 sequences=out_all.sequences[n_main:],
@@ -617,6 +627,8 @@ class SGRLVRTrainer:
             )
         m["reward"].append(float(rewards.mean()))
         m["reward_std"].append(float(group.std(axis=1, ddof=1).mean()))
+        if sample_out.stats and "spec_acceptance" in sample_out.stats:
+            m["spec_acceptance"].append(sample_out.stats["spec_acceptance"])
         m["kl"].append(float(metrics["kl"]))
         m["loss"].append(float(metrics["loss"]))
         m["grad_norm"].append(float(metrics["grad_norm"]))

@@ -68,6 +68,15 @@ def test_bench_speculative_smoke():
     assert result["acceptance_tokens_per_step"] >= 1.0
 
 
+def test_bench_rollout_spec_smoke():
+    result = bench.bench_rollout_spec(
+        B=2, G=2, P_len=32, C=16, k=2, cfg=tiny_config(),
+    )
+    _check(result)
+    assert result["greedy_acceptance"] >= 1.0
+    assert result["sampled_acceptance"] >= 1.0
+
+
 def test_device_wait_disabled(monkeypatch):
     # SPACER_BENCH_DEVICE_WAIT_S=0 must short-circuit without spawning any
     # probe subprocess (the CPU test env's subprocesses would hang on the
