@@ -130,6 +130,9 @@ class SGRLVRConfig:
     # rollout decode attention impl: None (auto) | "xla" | "flash" |
     # "flash_ref" (Sampler._resolve_decode_impl)
     decode_impl: Optional[str] = None
+    # publish the final model to the HF Hub after save (SG-RLVR.py:384-386)
+    push_to_hub: bool = False
+    hub_model_id: str = ""
     # prompt-lookup speculative rollout decode (sampler/speculating.py):
     # verify 1 + k tokens per block step — exact (greedy bit-exact;
     # sampled matches the sequential distribution).  0 = off.  The win is
@@ -759,6 +762,21 @@ class SGRLVRTrainer:
             {"global_step": self.global_step},
         )
         return path
+
+    def save_pretrained(self, out_dir: str | None = None,
+                        processor_dir: str | None = None):
+        """HF-layout export (model.safetensors + config.json + processor
+        files) and optional Hub publish — the trainer.save_model +
+        push_to_hub endgame of SG-RLVR.py:383-386 / sft.py:260-266."""
+        from spacer_tpu.train import publish
+
+        out_dir = out_dir or os.path.join(self.args.output_dir, "final")
+        publish.save_pretrained(out_dir, self.params, self.cfg,
+                                processor_dir=processor_dir)
+        if self.args.push_to_hub:
+            publish.push_to_hub(
+                self.args.hub_model_id or os.path.basename(out_dir), out_dir)
+        return out_dir
 
     def load_checkpoint(self, path: str):
         from spacer_tpu.train.checkpoint import restore_train_state
