@@ -28,7 +28,11 @@ def quantize_dense_int8(p: Params) -> Params:
     """{"kernel": (..., in, out), [bias]} -> int8 weight dict.
 
     Per-output-channel symmetric: scale[j] = max_i |w[..., i, j]| / 127.
+    Already-quantized dicts (kernel_q8 present, e.g. loaded from an int8
+    checkpoint) pass through untouched.
     """
+    if "kernel_q8" in p:
+        return p
     k = p["kernel"].astype(jnp.float32)
     scale = jnp.max(jnp.abs(k), axis=-2, keepdims=True) / 127.0
     q = jnp.round(k / jnp.maximum(scale, 1e-12))

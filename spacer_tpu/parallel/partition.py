@@ -17,7 +17,18 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 # Rules for the Qwen2.5-VL pytree (stacked layer arrays have a leading layer
 # axis which is never sharded). Order matters.
-QWEN_PARTITION_RULES: list[tuple[str, P]] = [
+# Blockwise-quantized Adam moments (train/optimizer.py scale_by_adam_8bit):
+# payloads are FLAT (nb, BLOCK) views of each param, so the param-geometry
+# rules don't apply — shard the block-row dim over fsdp (any even split
+# stores correctly; XLA reshards grads into this layout inside the apply
+# program).  Must match BEFORE the param rules: the payload paths embed the
+# param path (".mu_q/model/layers/...").
+_QUANT_MOMENT_RULES: list[tuple[str, P]] = [
+    (r"\.(mu|nu)_q/", P("fsdp", None)),
+    (r"\.(mu|nu)_s/", P("fsdp", None)),
+]
+
+QWEN_PARTITION_RULES: list[tuple[str, P]] = _QUANT_MOMENT_RULES + [
     # LM stacked layers: kernels (L, in, out)
     (r"model/layers/self_attn/(q|k|v)_proj/kernel", P(None, "fsdp", "tp")),
     (r"model/layers/self_attn/o_proj/kernel", P(None, "tp", "fsdp")),
@@ -60,7 +71,7 @@ QWEN_PARTITION_RULES: list[tuple[str, P]] = [
 # weights on use (ZeRO-3), under moe_impl="ep" the same placement keeps each
 # expert resident and the dispatch einsums become all-to-alls.  The expert
 # matrices' inner dims shard over tp.
-ARIA_PARTITION_RULES: list[tuple[str, P]] = [
+ARIA_PARTITION_RULES: list[tuple[str, P]] = _QUANT_MOMENT_RULES + [
     # MoE: router replicated (tiny), experts (L, E, in, out)
     (r"model/layers/mlp/router/kernel", P(None, None, None)),
     (r"model/layers/mlp/experts/fc1/kernel", P(None, "fsdp", None, "tp")),

@@ -99,6 +99,9 @@ class SFTConfig:
     attn_impl: Optional[str] = None
     warmup_steps: int = 0
     seq_bucket: int = 512
+    # Adam moment storage (train/optimizer.py): "float32" (torch AdamW
+    # parity) or "int8" (bitsandbytes 8-bit-Adam role, ~2.6 bytes/param)
+    moment_dtype: str = "float32"
 
 
 class SFTTrainer:
@@ -117,6 +120,7 @@ class SFTTrainer:
             learning_rate=args.learning_rate, total_steps=total,
             warmup_steps=args.warmup_steps, weight_decay=args.weight_decay,
             max_grad_norm=args.max_grad_norm,
+            moment_dtype=args.moment_dtype,
         )
         self.opt_state = self.tx.init(self.params)
         self.step_fn = make_sft_train_step(

@@ -324,10 +324,132 @@ def make_grpo_train_step(
         metrics = dict(metrics, loss=loss, grad_norm=gnorm)
         return params, opt_state, metrics
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=("grid_thw", "num_generations", "prompt_len",
+                         "grids_per_prompt"),
+        donate_argnames=("params", "opt_state"),
+    )
+    def step_accum(params, ref_params, opt_state, batch, grid_thw=None,
+                   num_generations: int = 1, prompt_len: int | None = None,
+                   grids_per_prompt=None):
+        """Gradient-accumulated single-program step: every `batch` leaf
+        carries a leading n_accum axis of uniform-shape chunks (each chunk
+        = one `step` batch); a lax.scan accumulates the chunk gradients and
+        ONE optimizer apply consumes their mean.
+
+        This is the reference's global-batch semantics — HF Trainer takes
+        one AdamW step per world_size x grad_accum prompts
+        (run_SpaceR_SG_RLVR.sh:9,21) — where the sequential per-chunk
+        `step` loop takes n_accum optimizer steps.  It is also the
+        single-chip memory fallback that replaces n_accum program
+        dispatches (~40ms relay RTT each) with one.
+        """
+        prompt_len = (prompt_len if prompt_len is not None
+                      else bound_prompt_len)
+        n_accum = jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+        def body(gacc, chunk):
+            if beta == 0.0:
+                ref_logps = None
+            elif "ref_logps" in chunk:
+                ref_logps = jax.lax.stop_gradient(chunk["ref_logps"])
+            else:
+                ref_logps = jax.lax.stop_gradient(_logps(
+                    ref_params, chunk, grid_thw, num_generations,
+                    prompt_len, grids_per_prompt,
+                ))
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                params, ref_logps,
+                {k: v for k, v in chunk.items() if k != "ref_logps"},
+                grid_thw, num_generations, prompt_len, grids_per_prompt,
+            )
+            gacc = jax.tree.map(
+                lambda a, g: a + g.astype(a.dtype), gacc, grads
+            )
+            return gacc, dict(metrics, loss=loss)
+
+        # f32 accumulator: the mean-of-chunks must not lose bf16 bits
+        # (params-sized, the price of one-apply semantics; the sharded
+        # multi-chip path needs no accumulation at all)
+        gacc0 = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        gacc, ms = jax.lax.scan(body, gacc0, batch)
+        grads = jax.tree.map(lambda g: g / n_accum, gacc)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: (p + u.astype(p.dtype)), params, updates
+        )
+        metrics = {k: v.mean() for k, v in ms.items()}
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return params, opt_state, metrics
+
+    # Chunked accumulation, host-driven: the single-chip alternative to
+    # step_accum when the scan carry cannot afford XLA's double buffering
+    # (an f32 accumulator is params x4 bytes; the scan may copy it).  The
+    # accumulator is DONATED through each chunk program, so its buffer is
+    # reused in place across the loop; one apply program finishes the step.
+    @functools.partial(
+        jax.jit,
+        static_argnames=("grid_thw", "num_generations", "prompt_len",
+                         "grids_per_prompt"),
+        donate_argnames=("gacc",),
+    )
+    def grad_chunk(params, ref_params, gacc, batch, grid_thw=None,
+                   num_generations: int = 1, prompt_len: int | None = None,
+                   grids_per_prompt=None):
+        prompt_len = (prompt_len if prompt_len is not None
+                      else bound_prompt_len)
+        if beta == 0.0:
+            ref_logps = None
+        elif "ref_logps" in batch:
+            ref_logps = jax.lax.stop_gradient(batch["ref_logps"])
+        else:
+            ref_logps = jax.lax.stop_gradient(ref_logps_fn(
+                ref_params, batch, grid_thw, num_generations, prompt_len,
+                grids_per_prompt,
+            ))
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, ref_logps,
+            {k: v for k, v in batch.items() if k != "ref_logps"},
+            grid_thw, num_generations, prompt_len, grids_per_prompt,
+        )
+        gacc = jax.tree.map(lambda a, g: a + g.astype(a.dtype), gacc, grads)
+        return gacc, dict(metrics, loss=loss)
+
+    @functools.partial(jax.jit, static_argnames=("n_accum",),
+                       donate_argnames=("params", "opt_state", "gacc"))
+    def apply_grads(params, opt_state, gacc, n_accum: int):
+        """One optimizer apply over the accumulated mean gradient; returns
+        a zeroed accumulator reusing the donated buffers for the next
+        step's chunk loop."""
+        # divide in the accumulator's own dtype: exact for power-of-two
+        # n_accum (exponent shift), and a bf16 accumulator must not inflate
+        # into a params-sized f32 temp tree here (single-chip HBM)
+        grads = jax.tree.map(
+            lambda g: (g / n_accum).astype(g.dtype), gacc)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: (p + u.astype(p.dtype)), params, updates
+        )
+        fresh = jax.tree.map(jnp.zeros_like, gacc)
+        return params, opt_state, optax_global_norm(grads), fresh
+
+    def init_gacc(params, dtype=jnp.float32):
+        # one-time eager allocation; steady-state reuse comes from
+        # apply_grads' zeroed return
+        return jax.tree.map(lambda p: jnp.zeros(p.shape, dtype), params)
+
     def step_callable(*args, **kwargs):
         return step(*args, **kwargs)
 
     step_callable.ref_logps_fn = ref_logps_fn
+    step_callable.step_accum = step_accum
+    step_callable.grad_chunk = grad_chunk
+    step_callable.apply_grads = apply_grads
+    step_callable.init_gacc = init_gacc
     return step_callable
 
 

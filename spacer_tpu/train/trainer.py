@@ -118,6 +118,11 @@ class SGRLVRConfig:
     # 2x(param bytes) of steady-state HBM for rollout KV caches at the cost
     # of streaming the moments across PCIe around each update
     offload_opt_state: bool = False
+    # Adam moment storage (train/optimizer.py): "float32" = the reference
+    # torch.optim.AdamW behavior (8 bytes/param of state); "int8" =
+    # blockwise-quantized moments (~2.6 bytes/param), the bitsandbytes
+    # 8-bit-Adam role — the single-chip memory lever for 1B+ models
+    moment_dtype: str = "float32"
     remat: bool = True
     logp_chunk: int = 256
     attn_impl: Optional[str] = None
@@ -200,6 +205,7 @@ class SGRLVRTrainer:
             warmup_steps=args.warmup_steps,
             weight_decay=args.weight_decay,
             max_grad_norm=args.max_grad_norm,
+            moment_dtype=args.moment_dtype,
         )
         if args.gradient_accumulation_steps > 1:
             import optax

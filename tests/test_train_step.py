@@ -294,3 +294,121 @@ def test_grpo_step_beta_zero_no_ref():
                                rtol=1e-3, atol=1e-4)
     assert float(metrics["kl"]) == 0.0
     assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_step_accum_matches_full_batch():
+    """The scan-accumulated one-program step (step.step_accum) over two
+    B=1 chunks must reproduce the full-batch B=2 step exactly: grpo_loss
+    is a row mean, so mean-of-chunk-gradients == full-batch gradients, and
+    both take ONE optimizer apply (the reference's global-batch AdamW
+    semantics, run_SpaceR_SG_RLVR.sh:9,21)."""
+    cfg = tiny_config()
+    G, P_len, C = 4, 64, 16
+    _, shared, grid = _two_group_batches(cfg, G=G, P_len=P_len, C=C)
+    grid1 = grid[0]
+    n_patches = grid1[0] * grid1[1] * grid1[2]
+
+    # stack the B=2 shared-prefix batch into 2 chunks of B=1
+    def chunk(b):
+        return {
+            "prompt_ids": shared["prompt_ids"][b:b + 1],
+            "prompt_mask": shared["prompt_mask"][b:b + 1],
+            "prompt_position_ids": shared["prompt_position_ids"][:, b:b + 1],
+            "completion_ids": shared["completion_ids"][b * G:(b + 1) * G],
+            "completion_position_ids":
+                shared["completion_position_ids"][:, b * G:(b + 1) * G],
+            "completion_mask": shared["completion_mask"][b * G:(b + 1) * G],
+            "advantages": shared["advantages"][b * G:(b + 1) * G],
+            "pixel_values":
+                shared["pixel_values"][b * n_patches:(b + 1) * n_patches],
+        }
+    stacked = jax.tree.map(
+        lambda *xs: np.stack(xs), chunk(0), chunk(1))
+
+    tx = make_optimizer(learning_rate=1e-3, total_steps=100)
+    step = make_grpo_train_step(cfg, tx, beta=0.04, remat=True,
+                                attn_impl="xla", logp_chunk=8)
+    with jax.default_matmul_precision("highest"):
+        outs = []
+        for fn, batch, g, gpp in (
+            (step, shared, grid, None),
+            (step.step_accum, stacked, (grid1,), None),
+        ):
+            params = init_params(jax.random.key(0), cfg, jnp.float32)
+            ref_params = init_params(jax.random.key(0), cfg, jnp.float32)
+            opt_state = tx.init(params)
+            p2, _, metrics = fn(
+                params, ref_params, opt_state, batch, grid_thw=g,
+                num_generations=G, grids_per_prompt=gpp)
+            outs.append((p2, metrics))
+    (pa, ma), (pb, mb) = outs
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ma["kl"]), float(mb["kl"]), atol=1e-6)
+    np.testing.assert_allclose(float(ma["grad_norm"]),
+                               float(mb["grad_norm"]), rtol=1e-4, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5),
+        pa, pb,
+    )
+
+
+def test_grad_chunk_apply_matches_full_batch():
+    """The host-driven chunked accumulation (grad_chunk with a donated
+    accumulator + one apply_grads) must match the full-batch step exactly,
+    like step_accum — it is the same math in update_groups+1 programs."""
+    cfg = tiny_config()
+    G, P_len, C = 4, 64, 16
+    _, shared, grid = _two_group_batches(cfg, G=G, P_len=P_len, C=C)
+    grid1 = grid[0]
+    n_patches = grid1[0] * grid1[1] * grid1[2]
+
+    def chunk(b):
+        return {
+            "prompt_ids": shared["prompt_ids"][b:b + 1],
+            "prompt_mask": shared["prompt_mask"][b:b + 1],
+            "prompt_position_ids": shared["prompt_position_ids"][:, b:b + 1],
+            "completion_ids": shared["completion_ids"][b * G:(b + 1) * G],
+            "completion_position_ids":
+                shared["completion_position_ids"][:, b * G:(b + 1) * G],
+            "completion_mask": shared["completion_mask"][b * G:(b + 1) * G],
+            "advantages": shared["advantages"][b * G:(b + 1) * G],
+            "pixel_values":
+                shared["pixel_values"][b * n_patches:(b + 1) * n_patches],
+        }
+
+    tx = make_optimizer(learning_rate=1e-3, total_steps=100)
+    step = make_grpo_train_step(cfg, tx, beta=0.04, remat=True,
+                                attn_impl="xla", logp_chunk=8)
+    with jax.default_matmul_precision("highest"):
+        params = init_params(jax.random.key(0), cfg, jnp.float32)
+        ref_params = init_params(jax.random.key(0), cfg, jnp.float32)
+        opt_state = tx.init(params)
+        pa, _, ma = step(
+            params, ref_params, opt_state, shared, grid_thw=grid,
+            num_generations=G)
+
+        params = init_params(jax.random.key(0), cfg, jnp.float32)
+        opt_state = tx.init(params)
+        gacc = step.init_gacc(params)
+        losses = []
+        for b in range(2):
+            gacc, metrics = step.grad_chunk(
+                params, ref_params, gacc, chunk(b), grid_thw=(grid1,),
+                num_generations=G)
+            losses.append(float(metrics["loss"]))
+        pb, _, gnorm, gacc2 = step.apply_grads(
+            params, opt_state, gacc, n_accum=2)
+    np.testing.assert_allclose(float(ma["loss"]), np.mean(losses),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ma["grad_norm"]), float(gnorm),
+                               rtol=1e-4, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5),
+        pa, pb,
+    )
+    # the returned accumulator is zeroed for the next step
+    assert all(float(jnp.abs(leaf).max()) == 0.0
+               for leaf in jax.tree_util.tree_leaves(gacc2))
