@@ -580,19 +580,26 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
             phase_times["update_s"] += time.perf_counter() - tp1
         return params, opt_state
 
-    params, opt_state = one_iteration(params, ref_params, opt_state, 0)
-    print("# iter compiled", flush=True)
-    phase_times.update(rollout_s=0.0, update_s=0.0)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        params, opt_state = one_iteration(params, ref_params, opt_state,
-                                          i + 1)
-    dt = time.perf_counter() - t0
-    sps = iters * B * G / dt
-    if time_phases:
-        print(f"# bf16 phases: rollout={phase_times['rollout_s']/iters:.2f}s "
-              f"update={phase_times['update_s']/iters:.2f}s per iteration",
-              flush=True)
+    # SPACER_BENCH_SKIP_BF16=1: measurement knob — skip the bf16-rollout
+    # comparison leg (the headline int8_kv leg still compiles everything it
+    # needs); for fast update-phase experiments, NOT the reported config
+    skip_bf16 = _os.environ.get("SPACER_BENCH_SKIP_BF16") == "1"
+    sps = None
+    if not skip_bf16:
+        params, opt_state = one_iteration(params, ref_params, opt_state, 0)
+        print("# iter compiled", flush=True)
+        phase_times.update(rollout_s=0.0, update_s=0.0)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, opt_state = one_iteration(params, ref_params, opt_state,
+                                              i + 1)
+        dt = time.perf_counter() - t0
+        sps = iters * B * G / dt
+        if time_phases:
+            print(f"# bf16 phases: "
+                  f"rollout={phase_times['rollout_s']/iters:.2f}s "
+                  f"update={phase_times['update_s']/iters:.2f}s "
+                  f"per iteration", flush=True)
 
     # quantized-rollout variant (int8 weights + int8 KV caches,
     # ops/quant.py): the production setting for long-completion RL — logps
@@ -636,7 +643,7 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
         "efficiency_vs_ref_per_peak_flop": round(eff_ratio, 2),
         "rollout_batch": B, "num_generations": G,
         "rollout_quant": quant_mode,
-        "bf16_rollout_sps": round(sps, 3),
+        "bf16_rollout_sps": round(sps, 3) if sps is not None else None,
         # honesty flag (VERDICT r2 #9): >1 means the single-chip update ran
         # as that many sequential per-group programs (the sharded multi-chip
         # path runs ONE program; total device work is identical)

@@ -127,11 +127,15 @@ class SGRLVRConfig:
     logp_chunk: int = 256
     attn_impl: Optional[str] = None
     warmup_steps: int = 0
-    # "int8": weight-only-quantized rollout decode (ops/quant.py);
-    # "int8_kv": int8 weights + int8 KV caches (halves the per-step cache
-    # reads too). logps/updates stay bf16 (sound for GRPO, see
-    # ops/quant.py docstring)
-    decode_quant: Optional[str] = None
+    # rollout decode quantization (ops/quant.py): "int8" = weight-only;
+    # "int8_kv" = int8 weights + int8 KV caches (halves the per-step cache
+    # reads too); None = bf16.  logps/updates always stay bf16 — only the
+    # sampling distribution is perturbed (~0.5% RMS logits), and a
+    # same-seed RL-quality A/B (tools/ab_rollout_quant.json: 50-step GRPO,
+    # bf16 vs int8_kv vs bf16-reseeded) shows the quantized arm's
+    # reward/KL deltas inside the bf16 seed-to-seed spread, so int8_kv is
+    # the shipped default (the bench headline configuration)
+    decode_quant: Optional[str] = "int8_kv"
     # rollout decode attention impl: None (auto) | "xla" | "flash" |
     # "flash_ref" (Sampler._resolve_decode_impl)
     decode_impl: Optional[str] = None
