@@ -817,6 +817,19 @@ def bench_rollout_spec(B=8, G=8, P_len=2048, C=1024, k=3, *, cfg=None):
         reported by the trainer as spec_acceptance).
     The sequential baselines use the sampler's auto decode_impl (the
     flash kernel on TPU), so speedups are vs the best shipping path.
+
+    MEASURED on the v5e chip (2026-08-19, this geometry, int8_kv):
+    greedy 0.48x (seq 3.342s vs spec_k3 6.956s, acceptance 1.69
+    tokens/step) and sampled 0.354x (3.378s vs 9.534s, acceptance 1.00 —
+    the flat-logits floor: every draft rejected).  NEGATIVE at trainer
+    geometry: the grouped 64-row decode is already batch-efficient, so
+    the (k+1)-wide verify forward costs more than 1.69-accepted-tokens
+    saves; break-even needs acceptance > ~2.4.  Consequently
+    SGRLVRConfig.speculate_k stays 0 by default; the machinery remains
+    exact (greedy bit-exact, sampled exact-in-distribution — tests) and
+    pays off in the low-batch serving regime (bench_speculative: 1.647x
+    at acceptance 1.99) or with real checkpoints whose CoT rollouts
+    quote the prompt (acceptance is reported live as spec_acceptance).
     """
     import jax
     import jax.numpy as jnp
