@@ -86,6 +86,83 @@ def global_batch_from_local(local_batch: dict, mesh, batch_axes=("data", "fsdp")
     return {k: place(k, v) for k, v in local_batch.items()}
 
 
+def replicate_to_mesh(x, mesh):
+    """IDENTICAL-on-every-host numpy -> fully-replicated global jax.Array.
+
+    The multi-process analogue of jnp.asarray for SPMD inputs: every
+    process holds the same host value (the caller's contract — assemble it
+    with all_gather_objects first) and each local device reads its copy
+    from the local host buffer.  Single-host, this is just device-put.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, NamedSharding(mesh, P()), lambda idx: x[idx]
+    )
+
+
+def place_global_batch(batch: dict, mesh, *, donate_unused=None):
+    """IDENTICAL-on-every-host GLOBAL batch -> mesh placement.
+
+    The multi-process analogue of place_batch (partition.py): every host
+    holds the same full global batch (assembled via all_gather_objects);
+    row-indexed arrays shard their batch dim over data x fsdp when
+    divisible (each local device slices its shard out of the host copy),
+    packed pixel patches and indivisible dims replicate.  Arrays that are
+    already jax.Arrays pass through untouched.  Degrades to place_batch
+    when jax.process_count() == 1 so callers can use it unconditionally.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spacer_tpu.parallel.partition import (
+        _BATCH_DIM1_KEYS,
+        _REPLICATED_KEYS,
+        batch_spec,
+        place_batch,
+    )
+
+    if jax.process_count() == 1:
+        return place_batch(batch, mesh)
+    baxes = batch_spec(mesh)[0]
+    n_shards = int(np.prod([mesh.shape[a] for a in baxes]))
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, jax.Array) and not isinstance(v, np.ndarray):
+            out[k] = v
+            continue
+        v = np.asarray(v)
+        dim = 1 if k in _BATCH_DIM1_KEYS else 0
+        if (k in _REPLICATED_KEYS or v.ndim <= dim
+                or v.shape[dim] % n_shards != 0):
+            spec = P()
+        else:
+            spec = P(*([None] * dim), baxes)
+        out[k] = jax.make_array_from_callback(
+            v.shape, NamedSharding(mesh, spec), lambda idx, v=v: v[idx]
+        )
+    return out
+
+
+def fetch_to_host(arr, mesh) -> np.ndarray:
+    """Global jax.Array -> identical full numpy array on every process.
+
+    Rollout outputs (sampled tokens, acceptance telemetry) come back from
+    the SPMD program with whatever output sharding the compiler chose; a
+    non-addressable array cannot be np.asarray'd directly, so reshard to
+    fully-replicated first (tokens are small: B*G x C int32).
+    """
+    if not isinstance(arr, jax.Array) or jax.process_count() == 1:
+        return np.asarray(arr)
+    if not arr.is_fully_replicated:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        arr = jax.jit(
+            lambda a: a, out_shardings=NamedSharding(mesh, P())
+        )(arr)
+    return np.asarray(arr)
+
+
 def all_gather_objects(obj: Any) -> list[Any]:
     """Gather an ARBITRARY python object from every host (reward strings,
     completion texts — the analogue of accelerate's gather_object,

@@ -417,12 +417,21 @@ class Sampler:
                  pad_token_id: int | None = None, attn_impl: str | None = None,
                  length_bucket: int = 128, decode_quant: str | None = None,
                  decode_impl: str | None = None,
-                 speculate_k: int | None = None):
+                 speculate_k: int | None = None,
+                 mesh=None):
         import os
 
         from spacer_tpu.models.registry import family_for_config
 
         self.cfg = cfg
+        # multi-process (DCN) rollouts need explicit global placement: under
+        # jax.process_count() > 1 every host must call generate() with the
+        # IDENTICAL global host batch (the trainer assembles it with
+        # multihost.all_gather_objects), inputs become fully-replicated
+        # global arrays on this mesh, and outputs are fetched back
+        # replicated.  Single-process, mesh is unused by generate (the
+        # compiler propagates sharding from the params).
+        self.mesh = mesh
         self.family = family_for_config(cfg)
         self.eos_token_id = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         self.pad_token_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
@@ -503,6 +512,27 @@ class Sampler:
         b = self.length_bucket
         return max(b, -(-n // b) * b)
 
+    def _to_device(self, x):
+        """Host array -> device. Multi-process: fully-replicated global
+        array on the mesh (x must be IDENTICAL on every host)."""
+        if jax.process_count() > 1:
+            if self.mesh is None:
+                raise ValueError(
+                    "multi-process generate() needs Sampler(mesh=...) so "
+                    "inputs can be placed as global arrays")
+            from spacer_tpu.parallel.multihost import replicate_to_mesh
+
+            return replicate_to_mesh(x, self.mesh)
+        return jnp.asarray(x)
+
+    def _fetch(self, arr) -> np.ndarray:
+        """Device tokens -> host numpy, identical on every process."""
+        if jax.process_count() > 1:
+            from spacer_tpu.parallel.multihost import fetch_to_host
+
+            return fetch_to_host(arr, self.mesh)
+        return np.asarray(arr)
+
     def generate(
         self,
         input_ids: np.ndarray,          # (B, S) left-padded prompts
@@ -553,8 +583,13 @@ class Sampler:
             # delta = max_pos + 1 - seq_len; padding grows seq_len
             deltas = np.asarray(deltas) - pad
 
-        ids = jnp.asarray(input_ids)
+        multiproc = jax.process_count() > 1
+        ids = self._to_device(input_ids)
         if vision_embeds is not None:
+            if multiproc:
+                raise ValueError(
+                    "vision_embeds pass-through is a single-process path; "
+                    "multi-process callers pass vision_kwargs")
             token_embeds = _prologue_jit(
                 params, ids, {}, cfg=cfg, grid_thw=None,
                 attn_impl=self.attn_impl, family_name=self.family.name,
@@ -565,13 +600,20 @@ class Sampler:
             if vision_kwargs is None and pixel_values is not None:
                 # legacy qwen-shaped call (packed patches + static grids)
                 vision_kwargs = {"pixel_values": pixel_values}
-            vk = {k: jnp.asarray(v) for k, v in (vision_kwargs or {}).items()}
+            vk = {
+                k: self._to_device(v)
+                for k, v in (vision_kwargs or {}).items()
+            }
             token_embeds = _prologue_jit(
                 params, ids, vk, cfg=cfg, grid_thw=grid_thw,
                 attn_impl=self.attn_impl, family_name=self.family.name,
             )
 
         rng = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+        if multiproc:
+            # typed PRNG key -> replicated global key (same seed everywhere)
+            rng = jax.random.wrap_key_data(
+                self._to_device(np.asarray(jax.random.key_data(rng))))
         temp = float(temperature) if temperature is not None else 0.0
         topp = float(top_p) if top_p is not None else 1.0
         stats = None
@@ -584,16 +626,17 @@ class Sampler:
                     "exclusive rollout schedulers")
             tokens, spec = _generate_spec_jit(
                 params, cfg.text, ids, token_embeds,
-                jnp.asarray(position_ids), jnp.asarray(attention_mask),
-                jnp.asarray(deltas), rng,
+                self._to_device(position_ids),
+                self._to_device(attention_mask),
+                self._to_device(deltas), rng,
                 num_generations=num_generations,
                 max_new_tokens=max_new_tokens, temperature=temp,
                 top_p=topp, eos_token_id=self.eos_token_id,
                 pad_token_id=self.pad_token_id, speculate_k=spec_k,
                 attn_impl=self.attn_impl, decode_quant=self.decode_quant,
             )
-            tokens = np.asarray(tokens)
-            spec = np.asarray(spec)
+            tokens = self._fetch(tokens)
+            spec = self._fetch(spec)
             mask = completion_mask_from_ids(tokens, self.eos_token_id)
             return SampleOutput(
                 sequences=tokens, completion_mask=mask,
@@ -629,6 +672,11 @@ class Sampler:
                 raise ValueError(
                     "compaction decode has no flash/head-major path; use "
                     "decode_impl='xla' (or None) with compaction=True")
+            if multiproc:
+                raise ValueError(
+                    "compaction=True is a single-process scheduler (host-"
+                    "chunked fetches); disable it under "
+                    "jax.process_count() > 1")
             from spacer_tpu.sampler.compacting import compacting_decode
 
             tokens, stats = compacting_decode(
@@ -642,8 +690,10 @@ class Sampler:
             )
         else:
             tokens = _generate_jit(
-                params, cfg.text, token_embeds, jnp.asarray(position_ids),
-                jnp.asarray(attention_mask), jnp.asarray(deltas), rng,
+                params, cfg.text, token_embeds,
+                self._to_device(position_ids),
+                self._to_device(attention_mask), self._to_device(deltas),
+                rng,
                 num_generations=num_generations,
                 max_new_tokens=max_new_tokens,
                 temperature=temp, top_p=topp,
@@ -651,7 +701,7 @@ class Sampler:
                 decode_quant=self.decode_quant,
                 decode_impl=resolved_impl,
             )
-        tokens = np.asarray(tokens)
+        tokens = self._fetch(tokens)
         mask = completion_mask_from_ids(tokens, self.eos_token_id)
         return SampleOutput(
             sequences=tokens, completion_mask=mask, lengths=mask.sum(axis=1),

@@ -57,12 +57,16 @@ def _device_prefetch_vision(enc: dict, cast=None) -> dict:
     wire bytes; under f32 params (parity/debug runs) the caller passes
     cast=None so input precision is preserved.
     """
+    # multi-process: pixels must stay host numpy — the per-host encodings
+    # are exchanged via all_gather_objects (pickle) before placement, and
+    # the global placement happens once in Sampler._to_device
+    put = jax.process_count() == 1
     for k in ("pixel_values", "pixel_values_videos"):
         if k in enc and not isinstance(enc[k], jax.Array):
             arr = np.asarray(enc[k])
             if cast is not None and arr.dtype in (np.float32, np.float64):
                 arr = arr.astype(cast)
-            enc[k] = jax.device_put(arr)
+            enc[k] = jax.device_put(arr) if put else arr
     return enc
 
 
@@ -231,6 +235,7 @@ class SGRLVRTrainer:
             decode_quant=args.decode_quant,
             decode_impl=args.decode_impl,
             speculate_k=args.speculate_k,
+            mesh=mesh,
         )
         self.step_fn = make_grpo_train_step(
             cfg, self.tx, beta=args.beta, remat=args.remat,
@@ -373,7 +378,8 @@ class SGRLVRTrainer:
     # -- one training step ---------------------------------------------
 
     def _place(self, batch: dict) -> dict:
-        """Explicit mesh placement of the host batch (multi-host aware)."""
+        """Explicit mesh placement of a host batch of LOCAL rows: each host
+        contributes its slice of the global batch (multi-host aware)."""
         if self.mesh is None:
             return batch
         if jax.process_count() > 1:
@@ -383,6 +389,15 @@ class SGRLVRTrainer:
         from spacer_tpu.parallel import place_batch
 
         return place_batch(batch, self.mesh)
+
+    def _place_global(self, batch: dict) -> dict:
+        """Mesh placement of a host batch that is already GLOBAL (identical
+        on every host — training_step gathers the encodings up front)."""
+        if self.mesh is None:
+            return batch
+        from spacer_tpu.parallel.multihost import place_global_batch
+
+        return place_global_batch(batch, self.mesh)
 
     def training_step(self, rows, rng: np.random.Generator, prepared=None):
         """One optimizer step over B = len(rows) prompt-groups.
@@ -406,13 +421,6 @@ class SGRLVRTrainer:
         ]
         encs = [self._truncate_prompt(p[0]) for p in preps]
         has_video = [p[1] for p in preps]
-        enc = self._collate(encs)
-        pos, deltas = self._positions(enc)
-        grid_thw = enc.get("grid_thw")
-        grids_per_prompt = enc["grids_per_prompt"]
-        vision_kwargs = {
-            k: enc[k] for k in self.family.vision_batch_keys if k in enc
-        } or None
 
         # Temporal-shuffle prompts are prepared BEFORE the main rollout so
         # both can decode in ONE grouped program (merge_temporal_rollout):
@@ -423,16 +431,59 @@ class SGRLVRTrainer:
         # shuffled groups decode G rows like the main ones (uniform group
         # size keeps the shared-prefix layout); only the first G/2 are kept
         # (SG_RLVR_trainer.py:277-302 uses G/2 shuffled generations) — the
-        # extra rows are marginal-cost in a weight-bound decode.
-        video_idx = [b for b in range(B) if has_video[b]]
-        do_temporal = args.temporal and bool(video_idx)
+        # extra rows are marginal-cost in a weight-bound decode.  They are
+        # also prepared before the multi-host gather so ONE exchange
+        # carries main and shuffled encodings together.
         s_encs = []
-        if do_temporal:
-            for b in video_idx:
+        if args.temporal:
+            for b in [b for b in range(B) if has_video[b]]:
                 s_enc, _ = self._prepare_inputs(
                     rows[b], shuffle_frames=True, rng=rng
                 )
                 s_encs.append(self._truncate_prompt(s_enc))
+
+        # --- multi-host: exchange per-host encodings so every host holds
+        # the IDENTICAL global batch.  Single-controller SPMD: the params
+        # are sharded over the GLOBAL mesh, so the rollout and update are
+        # one global program every host must enter with the same data —
+        # unlike the reference, where each torchrun process rolls out on
+        # its own GPU and only gradients sync (run_SpaceR_SG_RLVR.sh:9-13).
+        # The expensive host work stays distributed: each host decodes the
+        # videos and scores the rewards of ITS OWN rows only.
+        nproc = jax.process_count()
+        B_local, row_off = B, 0
+        if nproc > 1:
+            from spacer_tpu.parallel import multihost
+
+            gathered = multihost.all_gather_objects(
+                (encs, s_encs, has_video))
+            rank = jax.process_index()
+            row_off = int(sum(len(g[0]) for g in gathered[:rank]))
+            encs = [e for g in gathered for e in g[0]]
+            s_encs = [e for g in gathered for e in g[1]]
+            has_video = [h for g in gathered for h in g[2]]
+            B = len(encs)
+
+        def _rollout_seed() -> int:
+            s = int(rng.integers(2**31))
+            if nproc > 1:
+                from spacer_tpu.parallel.multihost import (
+                    broadcast_from_host0,
+                )
+
+                return int(broadcast_from_host0(s))
+            return s
+
+        enc = self._collate(encs)
+        pos, deltas = self._positions(enc)
+        grid_thw = enc.get("grid_thw")
+        grids_per_prompt = enc["grids_per_prompt"]
+        vision_kwargs = {
+            k: enc[k] for k in self.family.vision_batch_keys if k in enc
+        } or None
+
+        video_idx = [b for b in range(B) if has_video[b]]
+        do_temporal = args.temporal and bool(video_idx)
         merge_shuffled = do_temporal and args.merge_temporal_rollout
 
         s_out = None
@@ -452,7 +503,7 @@ class SGRLVRTrainer:
                 num_generations=G,
                 max_new_tokens=args.max_completion_length,
                 temperature=args.temperature, top_p=args.top_p,
-                seed=int(rng.integers(2**31)),
+                seed=_rollout_seed(),
                 compaction=args.rollout_compaction,
                 chunk_steps=args.rollout_chunk_steps,
             )
@@ -476,13 +527,15 @@ class SGRLVRTrainer:
                 num_generations=G,
                 max_new_tokens=args.max_completion_length,
                 temperature=args.temperature, top_p=args.top_p,
-                seed=int(rng.integers(2**31)),
+                seed=_rollout_seed(),
                 compaction=args.rollout_compaction,
                 chunk_steps=args.rollout_chunk_steps,
             )
+        # decode ONLY the rows this host owns (its reward work share)
+        lsl = slice(row_off * G, (row_off + B_local) * G)
         completions = self.processor.tokenizer.batch_decode(
             [seq[:n] for seq, n in
-             zip(sample_out.sequences, sample_out.lengths)],
+             zip(sample_out.sequences[lsl], sample_out.lengths[lsl])],
             skip_special_tokens=True,
         )
         from spacer_tpu.utils.logging import debug_trace
@@ -529,7 +582,7 @@ class SGRLVRTrainer:
                 # keep prefetched device arrays on device (np.asarray on a
                 # jax.Array would round-trip the pixels through the host)
                 batch[k] = v if isinstance(v, jax.Array) else np.asarray(v)
-        batch = self._place(batch)
+        batch = self._place_global(batch)
         # async dispatch: overlaps with the reward python below
         ref_logps = self.step_fn.ref_logps_fn(
             self.ref_params, batch, grid_thw, G, Pb, grids_per_prompt
@@ -563,25 +616,40 @@ class SGRLVRTrainer:
                     num_generations=Gs,
                     max_new_tokens=args.max_completion_length,
                     temperature=args.temperature, top_p=args.top_p,
-                    seed=int(rng.integers(2**31)),
+                    seed=_rollout_seed(),
                     compaction=args.rollout_compaction,
                     chunk_steps=args.rollout_chunk_steps,
                 )
                 s_seqs = s_sep.sequences
                 s_lens = s_sep.lengths
-            s_completions = self.processor.tokenizer.batch_decode(
-                [seq[:n] for seq, n in zip(s_seqs, s_lens)],
-                skip_special_tokens=True,
-            )
+            # score only the shuffled rollouts of the videos this host owns
             for j, b in enumerate(video_idx):
+                if not (row_off <= b < row_off + B_local):
+                    continue
+                s_comp = self.processor.tokenizer.batch_decode(
+                    [seq[:n] for seq, n in
+                     zip(s_seqs[j * Gs:(j + 1) * Gs],
+                         s_lens[j * Gs:(j + 1) * Gs])],
+                    skip_special_tokens=True,
+                )
                 shuffled_rewards[b] = self._compute_rewards(
-                    rows[b], s_completions[j * Gs : (j + 1) * Gs]
+                    rows[b - row_off], s_comp
                 )
 
         rewards_per_func = np.concatenate([
-            self._compute_rewards(rows[b], completions[b * G : (b + 1) * G])
-            for b in range(B)
+            self._compute_rewards(rows[j], completions[j * G : (j + 1) * G])
+            for j in range(B_local)
         ])
+        if nproc > 1:
+            # one exchange carries the main AND shuffled local rewards
+            from spacer_tpu.parallel import multihost
+
+            parts = multihost.all_gather_objects(
+                (rewards_per_func, shuffled_rewards))
+            rewards_per_func = np.concatenate([p[0] for p in parts])
+            shuffled_rewards = {}
+            for p in parts:
+                shuffled_rewards.update(p[1])
 
         temporal_flags = []
         rewards = np.zeros(B * G, np.float32)
@@ -601,7 +669,7 @@ class SGRLVRTrainer:
         advantages = np.asarray(group_advantages(jnp.asarray(rewards), G))
         t_reward = time.perf_counter()
 
-        batch.update(self._place({
+        batch.update(self._place_global({
             "advantages": advantages.astype(np.float32)
         }))
         batch["ref_logps"] = ref_logps  # dispatched earlier, likely done
