@@ -502,7 +502,12 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
     # (mean-of-8 bf16 rounding perturbs grads ~0.4% — declared if used)
     accum_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
         _os.environ.get("SPACER_BENCH_ACCUM_DTYPE", "f32")]
-    gacc_holder = [step.init_gacc(params, accum_dtype) if accum else None]
+    # NOTE: the gradient accumulator is allocated at UPDATE start and freed
+    # after the apply — holding a params-sized f32 buffer across the rollout
+    # phase OOMs the rollout (measured 2026-08-19: the persistent-holder
+    # form that measured 6.43 sps in an earlier session now ResourceExhausts
+    # at these shapes; phase-scoped allocation removes the overlap entirely
+    # at the cost of one ~6ms zeros program per iteration)
 
     # SPACER_BENCH_PHASES=1: accumulate rollout vs update wall time (the
     # sampler returns host arrays, so the generate call is a natural sync
@@ -558,15 +563,26 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
             # across the loop), then ONE optimizer apply — the global-batch
             # AdamW semantics in update_groups+1 programs without the scan
             # carry's double buffering (which OOMs at this scale)
-            gacc = gacc_holder[0]
+            gacc = step.init_gacc(params, accum_dtype)
             for u in range(update_groups):
                 gacc, metrics = step.grad_chunk(
                     params, ref_params, gacc, chunk_batch(u),
                     grid_thw=(grid1,) * UB, num_generations=G,
                 )
+                if UB > 1:
+                    # near-HBM-limit programs: drain between chunks too, or
+                    # chunk u+1's reservation overlaps chunk u's temp peak
+                    # (same async-dispatch over-reservation as the apply)
+                    float(metrics["loss"])
+            # drain the dispatch queue before the apply: dispatch is async,
+            # so the apply program's buffers would otherwise be reserved
+            # while the last grad_chunk is still at its temp peak — a
+            # transient over-reservation that OOMs at 2 groups/program even
+            # though both programs fit alone (measured on v5e, 2026-08-19)
+            float(metrics["loss"])
             params, opt_state, gnorm, gacc = step.apply_grads(
                 params, opt_state, gacc, n_accum=update_groups)
-            gacc_holder[0] = gacc
+            del gacc  # freed before the next rollout (see NOTE above)
             metrics = dict(metrics, grad_norm=gnorm)
         else:
             for u in range(update_groups):
