@@ -493,19 +493,26 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
     # programs per optimizer update: B = per-group sequential (single-chip
     # memory fallback), 1 = the one-program batched form
     update_groups = int(_os.environ.get("SPACER_BENCH_UPDATE_GROUPS", B))
-    # SPACER_BENCH_ACCUM=1: ONE jitted program for the whole update —
-    # lax.scan over the update_groups chunks accumulating gradients, ONE
-    # optimizer apply (step.step_accum; the reference's global-batch AdamW
-    # semantics and ~40ms/dispatch less relay overhead)
-    accum = _os.environ.get("SPACER_BENCH_ACCUM") == "1"
-    # f32 accumulator is exact global-batch semantics; bf16 halves its HBM
-    # (mean-of-8 bf16 rounding perturbs grads ~0.4% — declared if used)
+    # SPACER_BENCH_ACCUM (default ON): chunked gradient accumulation with
+    # ONE optimizer apply per iteration (step.grad_chunk/apply_grads) —
+    # the reference's global-batch AdamW semantics (one apply per global
+    # step, zero3.json + HF Trainer) where the sequential fallback takes
+    # update_groups optimizer steps.  Measured v5e 2026-08-19 (int8_kv,
+    # int8 moments, dots_narrow): accum-bf16 6.29 sps (update 6.46s) vs
+    # sequential 6.234 sps (update 6.74s) — semantics AND speed.
+    accum = _os.environ.get("SPACER_BENCH_ACCUM", "1") == "1"
+    # Accumulator dtype (declared in the JSON): f32 is exact global-batch
+    # semantics but ResourceExhausts single-chip next to the int8 moments
+    # + ref + activations (measured 2026-08-19, with dots_narrow AND full
+    # remat); bf16 halves it and fits — mean-of-8 bf16 rounding perturbs
+    # grads ~0.4%, declared via accum_dtype.  The sharded multi-chip path
+    # needs no accumulation at all (one batched program).
     accum_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
-        _os.environ.get("SPACER_BENCH_ACCUM_DTYPE", "f32")]
+        _os.environ.get("SPACER_BENCH_ACCUM_DTYPE", "bf16")]
     # NOTE: the gradient accumulator is allocated at UPDATE start and freed
-    # after the apply — holding a params-sized f32 buffer across the rollout
+    # after the apply — holding a params-sized buffer across the rollout
     # phase OOMs the rollout (measured 2026-08-19: the persistent-holder
-    # form that measured 6.43 sps in an earlier session now ResourceExhausts
+    # form that measured 6.43 sps in an earlier session ResourceExhausts
     # at these shapes; phase-scoped allocation removes the overlap entirely
     # at the cost of one ~6ms zeros program per iteration)
 
@@ -665,14 +672,14 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
         # path runs ONE program; total device work is identical)
         "update_programs_per_step": 1 if accum else update_groups,
         "update_accum_chunks": update_groups if accum else None,
-        "accum_dtype": (_os.environ.get("SPACER_BENCH_ACCUM_DTYPE", "f32")
+        "accum_dtype": (_os.environ.get("SPACER_BENCH_ACCUM_DTYPE", "bf16")
                         if accum else None),
         "moment_dtype": _bench_moment_dtype(),
         "remat": remat_mode,
     }
 
 
-def bench_7b_rollout(G=8, P_len=2048, C=512):
+def bench_7b_rollout(G=8, P_len=2048, C=512, *, cfg=None, vid=(16, 224, 420)):
     """TRUE Qwen2.5-VL-7B geometry rollout on ONE v5e chip (VERDICT r3 #4):
     28 layers x 3584 hidden x 18944 intermediate, 152k vocab, the real
     windowed ViT — int8 weight-only LM + int8 KV caches, the production
@@ -698,7 +705,8 @@ def bench_7b_rollout(G=8, P_len=2048, C=512):
     )
     from spacer_tpu.sampler import Sampler
 
-    cfg = QWEN25_VL_7B
+    if cfg is None:
+        cfg = QWEN25_VL_7B
     shapes = jax.eval_shape(
         lambda k: init_params(k, cfg, jnp.bfloat16), jax.random.key(0))
 
@@ -755,7 +763,7 @@ def bench_7b_rollout(G=8, P_len=2048, C=512):
     print(f"# 7B synthetic params resident: {n_bytes/2**30:.2f} GiB",
           flush=True)
 
-    T, H, W = 16, 224, 420
+    T, H, W = vid
     grid1 = (T // 2, H // 14, W // 14)
     n_patches = grid1[0] * grid1[1] * grid1[2]
     n_video = n_patches // 4
@@ -941,16 +949,23 @@ def bench_rollout_waste(P_len=2048, C=512, G=8):
     the merged temporal rollout (trainer merge_temporal_rollout) and the
     all-done exit capture the remaining scheduling wins.
 
-    MEASURED OUTCOME (v5e, 1.3B, P=2048, C=1024, int8_kv): the linear
-    model says ~29% waste, but an implemented compacting engine
-    (sampler/compacting.py, rollout_compaction) recovers only a few
-    percent end-to-end: the per-row term b is dominated by tail-cache
+    MEASURED OUTCOME — and the TOMBSTONE of the compaction scheduler
+    (v5e, 1.3B, P=2048, C=1024, int8_kv): the linear model says ~29%
+    waste, but a fully-implemented live-row-compaction engine (greedy
+    outputs bit-identical to lockstep) recovered only a few percent
+    end-to-end, because the per-row term b is dominated by tail-cache
     reads that scale with the BUCKET size (which has grown by the time
     rows retire, and cannot shrink below the live rows' depth), and
     halving the group width duplicates prefix slots (each a full prefix
-    read per step).  The a/b decomposition below is still the right
-    diagnostic — it is what pins decode as weight/bucket-bound rather
-    than scheduling-bound at these geometries.
+    read per step).  The engine and its `rollout_compaction` flag were
+    REMOVED in round 5 (git history: spacer_tpu/sampler/compacting.py) —
+    a shipped flag measured useless is worse than no flag.  A paged/
+    block-table KV layout would remove the bucket coupling, but at G=8
+    grouped decode the prefix reads dominate and are already shared, so
+    the expected win stays in the few-percent band the measurement
+    bounded.  The a/b decomposition below is still the right diagnostic
+    — it is what pins decode as weight/bucket-bound rather than
+    scheduling-bound at these geometries.
     """
     import jax
     import jax.numpy as jnp

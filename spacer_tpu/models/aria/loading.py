@@ -200,6 +200,161 @@ def params_from_torch_state_dict(
     return params
 
 
+def export_to_safetensors(params, cfg: AriaConfig, out_path: str):
+    """Inverse of params_from_torch_state_dict: Aria pytree -> HF-named
+    safetensors file, in the modern transformers layout
+    (`model.language_model.*` / `model.vision_tower.*` /
+    `model.multi_modal_projector.*`, AriaModel >= 4.52) — which
+    _normalize_key also maps back, so the artifact round-trips through
+    load_params_from_hf.  Completes the model-agnostic trainer.save_model
+    parity (sft.py:260-266 works for the Aria run too,
+    local_scripts/train_aria_moe.sh).
+
+    Tensors keep their own dtype (bf16 params -> BF16 tensors)."""
+    from safetensors.numpy import save_file
+
+    t, v = cfg.text, cfg.vision
+    out: dict[str, np.ndarray] = {}
+
+    def put(name, x):
+        # contiguity is load-bearing: safetensors serializes the raw buffer,
+        # silently ignoring the strides of transposed views
+        out[name] = np.ascontiguousarray(np.asarray(x))
+
+    lm = "model.language_model"
+    m = params["model"]
+    put(f"{lm}.embed_tokens.weight", m["embed_tokens"]["embedding"])
+    put(f"{lm}.norm.weight", m["norm"]["scale"])
+    if "lm_head" in m:
+        put("lm_head.weight", np.asarray(m["lm_head"]["kernel"]).T)
+    lyr = m["layers"]
+    for i in range(t.num_layers):
+        pre = f"{lm}.layers.{i}"
+        put(f"{pre}.input_layernorm.weight",
+            lyr["input_layernorm"]["scale"][i])
+        put(f"{pre}.post_attention_layernorm.weight",
+            lyr["post_attention_layernorm"]["scale"][i])
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            p = lyr["self_attn"][proj]
+            put(f"{pre}.self_attn.{proj}.weight",
+                np.asarray(p["kernel"][i]).T)
+            if "bias" in p:
+                put(f"{pre}.self_attn.{proj}.bias", p["bias"][i])
+        put(f"{pre}.mlp.router.weight",
+            np.asarray(lyr["mlp"]["router"]["kernel"][i]).T)
+        # expert grouped-GEMM weights are stored (E, in, out) on BOTH sides
+        # (params_from_torch_state_dict loads them with transpose=False)
+        put(f"{pre}.mlp.experts.fc1.weight",
+            lyr["mlp"]["experts"]["fc1"]["kernel"][i])
+        put(f"{pre}.mlp.experts.fc2.weight",
+            lyr["mlp"]["experts"]["fc2"]["kernel"][i])
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            p = lyr["mlp"]["shared"][proj]
+            put(f"{pre}.mlp.shared_experts.{proj}.weight",
+                np.asarray(p["kernel"][i]).T)
+
+    vt = "model.vision_tower"
+    vis = params["visual"]
+    # dense patchify kernel (p*p*C, D) in (dy, dx, c) row order -> conv
+    # weight (D, C, p, p) (the exact inverse of the loader's permute)
+    pk = np.asarray(vis["embeddings"]["patch_embedding"]["kernel"])
+    put(f"{vt}.embeddings.patch_embedding.weight",
+        pk.reshape(v.patch_size, v.patch_size, v.num_channels,
+                   v.hidden_size).transpose(3, 2, 0, 1))
+    put(f"{vt}.embeddings.patch_embedding.bias",
+        vis["embeddings"]["patch_embedding"]["bias"])
+    put(f"{vt}.embeddings.position_embedding.weight",
+        vis["embeddings"]["position_embedding"]["embedding"])
+    enc = vis["encoder"]
+    for i in range(v.num_layers):
+        pre = f"{vt}.encoder.layers.{i}"
+        for name in ("layer_norm1", "layer_norm2"):
+            put(f"{pre}.{name}.weight", enc[name]["scale"][i])
+            put(f"{pre}.{name}.bias", enc[name]["bias"][i])
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            p = enc["self_attn"][proj]
+            put(f"{pre}.self_attn.{proj}.weight",
+                np.asarray(p["kernel"][i]).T)
+            put(f"{pre}.self_attn.{proj}.bias", p["bias"][i])
+        for proj in ("fc1", "fc2"):
+            p = enc["mlp"][proj]
+            put(f"{pre}.mlp.{proj}.weight", np.asarray(p["kernel"][i]).T)
+            put(f"{pre}.mlp.{proj}.bias", p["bias"][i])
+    put(f"{vt}.post_layernorm.weight", vis["post_layernorm"]["scale"])
+    put(f"{vt}.post_layernorm.bias", vis["post_layernorm"]["bias"])
+
+    pj = "model.multi_modal_projector"
+    proj = params["projector"]
+    put(f"{pj}.query", proj["query"])
+    ca = proj["cross_attn"]
+    for name in ("q_proj", "k_proj", "v_proj"):
+        put(f"{pj}.cross_attn.{name}.weight",
+            np.asarray(ca[name]["kernel"]).T)
+    put(f"{pj}.cross_attn.multihead_attn.in_proj_weight",
+        np.asarray(ca["mha_in_proj"]["kernel"]).T)
+    put(f"{pj}.cross_attn.multihead_attn.in_proj_bias",
+        ca["mha_in_proj"]["bias"])
+    put(f"{pj}.cross_attn.multihead_attn.out_proj.weight",
+        np.asarray(ca["mha_out_proj"]["kernel"]).T)
+    put(f"{pj}.cross_attn.multihead_attn.out_proj.bias",
+        ca["mha_out_proj"]["bias"])
+    put(f"{pj}.cross_attn.linear.weight", np.asarray(ca["linear"]["kernel"]).T)
+    put(f"{pj}.cross_attn.linear.bias", ca["linear"]["bias"])
+    for name in ("layer_norm", "layer_norm_kv"):
+        put(f"{pj}.cross_attn.{name}.weight", ca[name]["scale"])
+        put(f"{pj}.cross_attn.{name}.bias", ca[name]["bias"])
+    put(f"{pj}.layer_norm.weight", proj["layer_norm"]["scale"])
+    put(f"{pj}.layer_norm.bias", proj["layer_norm"]["bias"])
+    put(f"{pj}.feed_forward.linear_in.weight",
+        np.asarray(proj["feed_forward"]["linear_in"]["kernel"]).T)
+    put(f"{pj}.feed_forward.linear_out.weight",
+        np.asarray(proj["feed_forward"]["linear_out"]["kernel"]).T)
+    save_file(out, out_path)
+    return out_path
+
+
+def config_to_hf_dict(cfg: AriaConfig, torch_dtype: str = "bfloat16") -> dict:
+    """HF-style config.json dict that AriaConfig.from_hf_config round-trips
+    (the Aria leg of publish.save_pretrained)."""
+    t, v = cfg.text, cfg.vision
+    return {
+        "model_type": "aria",
+        "image_token_index": cfg.image_token_id,
+        "projector_patch_to_query_dict": {
+            str(k): val for k, val in cfg.projector_patch_to_query
+        },
+        "max_value_projector_patch_to_query_dict":
+            cfg.max_projector_queries,
+        "torch_dtype": torch_dtype,
+        "text_config": {
+            "vocab_size": t.vocab_size,
+            "hidden_size": t.hidden_size,
+            "intermediate_size": t.intermediate_size,
+            "num_hidden_layers": t.num_layers,
+            "num_attention_heads": t.num_heads,
+            "num_key_value_heads": t.num_kv_heads,
+            "rms_norm_eps": t.rms_norm_eps,
+            "rope_theta": t.rope_theta,
+            "tie_word_embeddings": t.tie_word_embeddings,
+            "max_position_embeddings": t.max_position_embeddings,
+            "attention_bias": t.attention_bias,
+            "moe_num_experts": t.moe_num_experts,
+            "moe_topk": t.moe_topk,
+            "moe_num_shared_experts": t.moe_num_shared_experts,
+        },
+        "vision_config": {
+            "hidden_size": v.hidden_size,
+            "intermediate_size": v.intermediate_size,
+            "num_hidden_layers": v.num_layers,
+            "num_attention_heads": v.num_heads,
+            "num_channels": v.num_channels,
+            "patch_size": v.patch_size,
+            "image_size": v.image_size,
+            "layer_norm_eps": v.layer_norm_eps,
+        },
+    }
+
+
 def load_params_from_hf(
     checkpoint_dir: str, cfg: AriaConfig | None = None, dtype=jnp.bfloat16
 ):

@@ -201,7 +201,12 @@ def load_params_from_hf(
 
 def export_to_safetensors(params, cfg: Qwen25VLConfig, out_path: str):
     """Inverse mapping: param pytree -> HF-named safetensors file (for eval
-    parity with torch-side tooling)."""
+    parity with torch-side tooling).
+
+    Tensors are written in their own dtype (bf16 params -> BF16 tensors,
+    matching the reference's bf16 save_model artifact,
+    zero3.json stage3_gather_16bit_weights_on_model_save; an f32 export
+    would double the file AND contradict config.json's torch_dtype)."""
     from safetensors.numpy import save_file
 
     t, v = cfg.text, cfg.vision
@@ -210,7 +215,9 @@ def export_to_safetensors(params, cfg: Qwen25VLConfig, out_path: str):
     def put(name, x):
         # ascontiguousarray is load-bearing: safetensors serializes the raw
         # buffer, silently ignoring the strides of transposed views
-        out[name] = np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+        # (dtype preserved: np.asarray on a jax bf16 array yields an
+        # ml_dtypes.bfloat16 numpy array, which safetensors writes as BF16)
+        out[name] = np.ascontiguousarray(np.asarray(x))
 
     m = params["model"]
     put("model.embed_tokens.weight", m["embed_tokens"]["embedding"])

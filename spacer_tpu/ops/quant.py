@@ -103,7 +103,7 @@ def quantize_decode_weights(layer_params: Params, lm_head: Params | None):
     decoder-layer tree plus (when untied) the lm_head dense.
 
     Shared by all three decode paths — the grouped sampler loop
-    (sampler/sampler.py), the compacting engine (sampler/compacting.py)
+    (sampler/sampler.py), the speculative loop (sampler/speculating.py)
     and the serving batcher (serving/batcher.py) — so what "int8 weights"
     means (incl. the MoE router/expert skip list) cannot silently diverge
     between them.  Returns (layer_params_q, lm_head_q-or-None).

@@ -41,11 +41,18 @@ def initialize(**kwargs) -> None:
         # bare initialize() with no cluster env detected: single-host run
 
 
-def global_mesh(tp: int = 1):
-    """Mesh over ALL processes' devices (ICI within hosts, DCN across)."""
-    from spacer_tpu.parallel.mesh import create_mesh
+def global_mesh(tp: int = 1, fsdp: int | None = None):
+    """Mesh over ALL processes' devices (ICI within hosts, DCN across).
 
-    return create_mesh(devices=jax.devices(), tp=tp)
+    fsdp caps the fsdp-axis size; remaining devices go to `data` (e.g.
+    8 devices, fsdp=4 -> data=2) — a data axis > 1 is what lets rollout
+    decode and the update batch shard across hosts (Sampler._rollout_spec,
+    partition.batch_spec)."""
+    from spacer_tpu.parallel.mesh import create_mesh, mesh_shape_for
+
+    devices = jax.devices()
+    shape = mesh_shape_for(len(devices), tp=tp, fsdp=fsdp)
+    return create_mesh(shape, devices=devices)
 
 
 def global_batch_from_local(local_batch: dict, mesh, batch_axes=("data", "fsdp")):
@@ -144,6 +151,17 @@ def place_global_batch(batch: dict, mesh, *, donate_unused=None):
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _replicate_reshard(sharding):
+    """Jitted identity-reshard to a fully-replicated sharding, cached per
+    target sharding so repeated rollout fetches reuse one compiled program
+    (a fresh jit per call would retrace + recompile every step)."""
+    return jax.jit(lambda a: a, out_shardings=sharding)
+
+
 def fetch_to_host(arr, mesh) -> np.ndarray:
     """Global jax.Array -> identical full numpy array on every process.
 
@@ -157,9 +175,7 @@ def fetch_to_host(arr, mesh) -> np.ndarray:
     if not arr.is_fully_replicated:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        arr = jax.jit(
-            lambda a: a, out_shardings=NamedSharding(mesh, P())
-        )(arr)
+        arr = _replicate_reshard(NamedSharding(mesh, P()))(arr)
     return np.asarray(arr)
 
 

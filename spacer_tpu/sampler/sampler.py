@@ -37,7 +37,7 @@ class SampleOutput:
     sequences: np.ndarray        # (B*G, max_new) sampled token ids
     completion_mask: np.ndarray  # (B*G, max_new) 1 up to & including first EOS
     lengths: np.ndarray          # (B*G,) completion lengths (mask sums)
-    stats: Optional[dict] = None  # scheduling stats (compacting decode)
+    stats: Optional[dict] = None  # telemetry (speculative decode acceptance)
 
 
 def _topp_threshold_bisect(logits, lse, top_p, iters: int = 24):
@@ -424,14 +424,21 @@ class Sampler:
         from spacer_tpu.models.registry import family_for_config
 
         self.cfg = cfg
-        # multi-process (DCN) rollouts need explicit global placement: under
-        # jax.process_count() > 1 every host must call generate() with the
-        # IDENTICAL global host batch (the trainer assembles it with
-        # multihost.all_gather_objects), inputs become fully-replicated
-        # global arrays on this mesh, and outputs are fetched back
-        # replicated.  Single-process, mesh is unused by generate (the
-        # compiler propagates sharding from the params).
+        # Explicit mesh placement for rollouts: row-indexed inputs shard
+        # their batch dim over the data x fsdp axes (_rollout_spec), so
+        # decode COMPUTE partitions across the data axis like the
+        # reference's per-rank rollouts (run_SpaceR_SG_RLVR.sh:9-13) —
+        # packed pixel patches and rng keys replicate.  Multi-process
+        # (DCN): every host must call generate() with the IDENTICAL global
+        # host batch (the trainer assembles it with
+        # multihost.all_gather_objects); each device then slices its shard
+        # out of the local host copy, and outputs are fetched back
+        # replicated.  mesh=None (single chip): plain device put.
         self.mesh = mesh
+        # the batch PartitionSpec of the last generate()'s inputs —
+        # observability for tests/dryrun asserting the rollout actually
+        # partitions the batch axis
+        self.last_rollout_spec = None
         self.family = family_for_config(cfg)
         self.eos_token_id = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         self.pad_token_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
@@ -480,7 +487,7 @@ class Sampler:
 
     def _resolve_decode_impl(
         self, prompt_bucket: int | None = None,
-        max_new_tokens: int | None = None, compaction: bool = False,
+        max_new_tokens: int | None = None,
     ) -> str | None:
         if self.decode_impl in ("xla",):
             return None
@@ -493,9 +500,8 @@ class Sampler:
         # 1.07x (int8) / 1.13x (bf16) per layer call, and end-to-end the
         # head-major flash rollout cuts the headline iteration's int8
         # rollout phase 3.99s -> 3.43s (6.27 -> 6.63 samples/s/chip).
-        # Compaction decode has no head-major path, and on CPU the Mosaic
-        # kernel cannot run (interpret mode is test-only).
-        if compaction or prompt_bucket is None or max_new_tokens is None:
+        # On CPU the Mosaic kernel cannot run (interpret mode is test-only).
+        if prompt_bucket is None or max_new_tokens is None:
             return None
         if jax.default_backend() != "tpu":
             return None
@@ -512,17 +518,44 @@ class Sampler:
         b = self.length_bucket
         return max(b, -(-n // b) * b)
 
-    def _to_device(self, x):
-        """Host array -> device. Multi-process: fully-replicated global
-        array on the mesh (x must be IDENTICAL on every host)."""
-        if jax.process_count() > 1:
-            if self.mesh is None:
-                raise ValueError(
-                    "multi-process generate() needs Sampler(mesh=...) so "
-                    "inputs can be placed as global arrays")
-            from spacer_tpu.parallel.multihost import replicate_to_mesh
+    def _rollout_spec(self, shape, dim):
+        """Batch-dim PartitionSpec for rollout inputs: shard over data x
+        fsdp when the batch dim divides (graded fallback data-only, then
+        replicate).  This is what makes rollout decode compute SCALE with
+        the data axis — the reference's per-rank rollouts
+        (run_SpaceR_SG_RLVR.sh:9-13, SG_RLVR_trainer.py:462-481) generate
+        on every GPU; a replicated placement would instead decode the
+        whole global batch on every device."""
+        from jax.sharding import PartitionSpec as P
 
-            return replicate_to_mesh(x, self.mesh)
+        for axes in (("data", "fsdp"), ("data",)):
+            if not all(a in self.mesh.shape for a in axes):
+                continue
+            n = int(np.prod([self.mesh.shape[a] for a in axes]))
+            if n > 1 and shape[dim] % n == 0:
+                return P(*([None] * dim), axes)
+        return P()
+
+    def _to_device(self, x, batch_dim: int | None = None):
+        """Host array -> device. Multi-process: global array on the mesh
+        (x must be IDENTICAL on every host).  batch_dim: row-indexed
+        arrays shard that dim over the batch axes (_rollout_spec); None
+        (scalars, packed patches, rng keys) replicates."""
+        if jax.process_count() > 1 and self.mesh is None:
+            raise ValueError(
+                "multi-process generate() needs Sampler(mesh=...) so "
+                "inputs can be placed as global arrays")
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = np.asarray(x)
+            spec = P()
+            if batch_dim is not None:
+                spec = self._rollout_spec(x.shape, batch_dim)
+                self.last_rollout_spec = spec
+            return jax.make_array_from_callback(
+                x.shape, NamedSharding(self.mesh, spec),
+                lambda idx: x[idx])
         return jnp.asarray(x)
 
     def _fetch(self, arr) -> np.ndarray:
@@ -550,8 +583,6 @@ class Sampler:
         temperature: float = 1.0,
         top_p: float = 0.95,
         seed: int | jax.Array = 0,
-        compaction: bool = False,
-        chunk_steps: int = 64,
         speculate_k: int | None = None,
     ) -> SampleOutput:
         cfg = self.cfg
@@ -584,7 +615,7 @@ class Sampler:
             deltas = np.asarray(deltas) - pad
 
         multiproc = jax.process_count() > 1
-        ids = self._to_device(input_ids)
+        ids = self._to_device(input_ids, batch_dim=0)
         if vision_embeds is not None:
             if multiproc:
                 raise ValueError(
@@ -620,15 +651,11 @@ class Sampler:
         spec_k = (self.speculate_k if speculate_k is None
                   else int(speculate_k))
         if spec_k > 0:
-            if compaction:
-                raise ValueError(
-                    "speculate_k > 0 and compaction=True are mutually "
-                    "exclusive rollout schedulers")
             tokens, spec = _generate_spec_jit(
                 params, cfg.text, ids, token_embeds,
-                self._to_device(position_ids),
-                self._to_device(attention_mask),
-                self._to_device(deltas), rng,
+                self._to_device(position_ids, batch_dim=1),
+                self._to_device(attention_mask, batch_dim=0),
+                self._to_device(deltas, batch_dim=0), rng,
                 num_generations=num_generations,
                 max_new_tokens=max_new_tokens, temperature=temp,
                 top_p=topp, eos_token_id=self.eos_token_id,
@@ -648,8 +675,7 @@ class Sampler:
                 },
             )
         resolved_impl = self._resolve_decode_impl(
-            prompt_bucket=Sb, max_new_tokens=max_new_tokens,
-            compaction=compaction)
+            prompt_bucket=Sb, max_new_tokens=max_new_tokens)
         if self.decode_impl == "flash":
             # Mosaic legality is enforced on real TPU only (interpret mode
             # passes illegal tilings), so an explicit kernel request with
@@ -667,40 +693,19 @@ class Sampler:
                     f"{cfg.text.head_dim}, prompt bucket {Sb}, "
                     f"max_new_tokens={max_new_tokens}. Use "
                     f"decode_impl='xla' or adjust the buckets.")
-        if compaction:
-            if resolved_impl in ("flash", "flash_ref"):
-                raise ValueError(
-                    "compaction decode has no flash/head-major path; use "
-                    "decode_impl='xla' (or None) with compaction=True")
-            if multiproc:
-                raise ValueError(
-                    "compaction=True is a single-process scheduler (host-"
-                    "chunked fetches); disable it under "
-                    "jax.process_count() > 1")
-            from spacer_tpu.sampler.compacting import compacting_decode
-
-            tokens, stats = compacting_decode(
-                params, cfg.text, token_embeds, jnp.asarray(position_ids),
-                np.asarray(attention_mask), np.asarray(deltas), rng,
-                num_generations=num_generations,
-                max_new_tokens=max_new_tokens, temperature=temp,
-                top_p=topp, eos_token_id=self.eos_token_id,
-                attn_impl=self.attn_impl, decode_quant=self.decode_quant,
-                chunk_steps=chunk_steps,
-            )
-        else:
-            tokens = _generate_jit(
-                params, cfg.text, token_embeds,
-                self._to_device(position_ids),
-                self._to_device(attention_mask), self._to_device(deltas),
-                rng,
-                num_generations=num_generations,
-                max_new_tokens=max_new_tokens,
-                temperature=temp, top_p=topp,
-                eos_token_id=self.eos_token_id, attn_impl=self.attn_impl,
-                decode_quant=self.decode_quant,
-                decode_impl=resolved_impl,
-            )
+        tokens = _generate_jit(
+            params, cfg.text, token_embeds,
+            self._to_device(position_ids, batch_dim=1),
+            self._to_device(attention_mask, batch_dim=0),
+            self._to_device(deltas, batch_dim=0),
+            rng,
+            num_generations=num_generations,
+            max_new_tokens=max_new_tokens,
+            temperature=temp, top_p=topp,
+            eos_token_id=self.eos_token_id, attn_impl=self.attn_impl,
+            decode_quant=self.decode_quant,
+            decode_impl=resolved_impl,
+        )
         tokens = self._fetch(tokens)
         mask = completion_mask_from_ids(tokens, self.eos_token_id)
         return SampleOutput(

@@ -36,7 +36,20 @@ _PROCESSOR_FILES = (
 )
 
 
-def _config_to_hf_dict(cfg) -> dict:
+def _params_torch_dtype(params) -> str:
+    """torch_dtype string derived from what the export actually writes
+    (the LM kernels' dtype) so config.json cannot contradict the weights."""
+    import numpy as np
+
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(params)
+    dt = np.asarray(leaves[0]).dtype if leaves else None
+    return {"bfloat16": "bfloat16", "float16": "float16"}.get(
+        str(dt), "float32")
+
+
+def _config_to_hf_dict(cfg, torch_dtype: str = "bfloat16") -> dict:
     """Minimal HF-style config.json for a spacer_tpu model config.
 
     Enough for `AutoConfig`-free tooling round-trips (our own loader and
@@ -55,7 +68,7 @@ def _config_to_hf_dict(cfg) -> dict:
         "rms_norm_eps": getattr(t, "rms_norm_eps", 1e-6),
         "rope_theta": getattr(t, "rope_theta", 1000000.0),
         "use_cache": True,
-        "torch_dtype": "bfloat16",
+        "torch_dtype": torch_dtype,
     }
     if getattr(t, "mrope_section", None) is not None:
         d["rope_scaling"] = {
@@ -82,17 +95,24 @@ def save_pretrained(out_dir: str, params, cfg,
 
     os.makedirs(out_dir, exist_ok=True)
     family = family_for_config(cfg)
-    if family.name == "qwen25_vl":
+    torch_dtype = _params_torch_dtype(params)
+    if family.name == "aria":
+        from spacer_tpu.models.aria.loading import (
+            config_to_hf_dict,
+            export_to_safetensors,
+        )
+
+        export_to_safetensors(
+            params, cfg, os.path.join(out_dir, "model.safetensors"))
+        hf_cfg = config_to_hf_dict(cfg, torch_dtype)
+    else:
         from spacer_tpu.models.qwen25_vl.loading import export_to_safetensors
 
         export_to_safetensors(
             params, cfg, os.path.join(out_dir, "model.safetensors"))
-    else:
-        raise NotImplementedError(
-            f"safetensors export not implemented for family {family.name!r}"
-            " (orbax save_model_only covers native checkpoints)")
+        hf_cfg = _config_to_hf_dict(cfg, torch_dtype)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
-        json.dump(_config_to_hf_dict(cfg), f, indent=2)
+        json.dump(hf_cfg, f, indent=2)
     if processor_dir:
         for name in _PROCESSOR_FILES:
             src = os.path.join(processor_dir, name)

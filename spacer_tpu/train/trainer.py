@@ -94,17 +94,13 @@ class SGRLVRConfig:
     # main rollout (decode is weight-bandwidth-bound: the merged decode pays
     # max(len) weight passes instead of len_main + len_shuffled)
     merge_temporal_rollout: bool = True
-    # host-chunked rollout decode with live-row compaction (rows that hit
-    # EOS stop paying tail-KV/flops).  Measured on v5e at the bench
-    # geometry: chunking itself is free, but the compaction win is only a
-    # few % — dead rows' tail reads vanish, yet tail reads scale with the
-    # BUCKET (not the live depth) and width-shrink duplicates prefix
-    # slots, eating most of the b*rows saving the linear cost model
-    # (bench.py rollout_waste) predicts.  Default off; the scheduling win
-    # that ships by default is merge_temporal_rollout.  Greedy outputs are
-    # bit-identical to the lockstep loop either way.
-    rollout_compaction: bool = False
-    rollout_chunk_steps: int = 256
+    # NOTE: a live-row-compaction rollout scheduler (rows that hit EOS stop
+    # paying tail-KV/flops) was built, measured on v5e at the bench
+    # geometry, and RETIRED in round 5: the recovered time was only a few
+    # percent (tail reads scale with the BUCKET, not the live depth, and
+    # width-shrink duplicates prefix slots), so the flag was a trap.  The
+    # measurement survives as bench.py bench_rollout_waste; the scheduling
+    # win that ships is merge_temporal_rollout.
     num_train_epochs: int = 1
     max_steps: int | None = None
     gradient_accumulation_steps: int = 1
@@ -226,6 +222,17 @@ class SGRLVRTrainer:
             from spacer_tpu.parallel.offload import offload_to_host
 
             self.opt_state = offload_to_host(self.opt_state)
+        if args.decode_quant:
+            # one-line visibility notice (ADVICE r4): the rollout SAMPLING
+            # distribution is quantized (~0.5% RMS logit perturbation);
+            # logps and updates stay bf16.  Backed by the multi-seed A/B in
+            # tools/ab_rollout_quant.json (synthetic reward; re-run with a
+            # real checkpoint when one is mounted).  decode_quant=None
+            # restores the reference's exact bf16 rollout numerics.
+            print(f"[spacer] rollout decode quantized: "
+                  f"decode_quant={args.decode_quant!r} "
+                  f"(sampling-distribution change; set decode_quant=None "
+                  f"for bf16-exact rollouts)", flush=True)
         self.sampler = Sampler(
             cfg,
             eos_token_id=processor.eos_token_id,
@@ -449,7 +456,18 @@ class SGRLVRTrainer:
         # unlike the reference, where each torchrun process rolls out on
         # its own GPU and only gradients sync (run_SpaceR_SG_RLVR.sh:9-13).
         # The expensive host work stays distributed: each host decodes the
-        # videos and scores the rewards of ITS OWN rows only.
+        # videos and scores the rewards of ITS OWN rows only, and the
+        # rollout DEVICE compute is batch-sharded over the data axis
+        # (Sampler._rollout_spec), so decode throughput scales with hosts.
+        # SCALING CEILING (documented per ADVICE r4): this exchange pickles
+        # each host's packed pixel patches to every other host — DCN bytes
+        # and host memory grow O(num_hosts x global_batch x patches) per
+        # step (~9MB/video at the training budget, bf16).  At the
+        # reference scale (8 ranks, 1 video each) that is ~72MB/step/host
+        # — trivially amortized by the prefetch thread; revisit with
+        # per-host-addressable pixel shards
+        # (make_array_from_process_local_data) only if rollout batches
+        # grow to hundreds of videos across tens of hosts.
         nproc = jax.process_count()
         B_local, row_off = B, 0
         if nproc > 1:
@@ -504,8 +522,6 @@ class SGRLVRTrainer:
                 max_new_tokens=args.max_completion_length,
                 temperature=args.temperature, top_p=args.top_p,
                 seed=_rollout_seed(),
-                compaction=args.rollout_compaction,
-                chunk_steps=args.rollout_chunk_steps,
             )
             n_main = B * G
             sample_out = SampleOutput(
@@ -528,8 +544,6 @@ class SGRLVRTrainer:
                 max_new_tokens=args.max_completion_length,
                 temperature=args.temperature, top_p=args.top_p,
                 seed=_rollout_seed(),
-                compaction=args.rollout_compaction,
-                chunk_steps=args.rollout_chunk_steps,
             )
         # decode ONLY the rows this host owns (its reward work share)
         lsl = slice(row_off * G, (row_off + B_local) * G)
@@ -617,8 +631,6 @@ class SGRLVRTrainer:
                     max_new_tokens=args.max_completion_length,
                     temperature=args.temperature, top_p=args.top_p,
                     seed=_rollout_seed(),
-                    compaction=args.rollout_compaction,
-                    chunk_steps=args.rollout_chunk_steps,
                 )
                 s_seqs = s_sep.sequences
                 s_lens = s_sep.lengths
@@ -849,11 +861,16 @@ class SGRLVRTrainer:
         from spacer_tpu.train import publish
 
         out_dir = out_dir or os.path.join(self.args.output_dir, "final")
+        if self.args.push_to_hub and not self.args.hub_model_id:
+            # fail BEFORE the (slow) export: a basename fallback would
+            # publish to a repo literally named "final"
+            raise ValueError(
+                "push_to_hub=True requires hub_model_id (the Hub repo id); "
+                "refusing to invent one from the output directory name")
         publish.save_pretrained(out_dir, self.params, self.cfg,
                                 processor_dir=processor_dir)
         if self.args.push_to_hub:
-            publish.push_to_hub(
-                self.args.hub_model_id or os.path.basename(out_dir), out_dir)
+            publish.push_to_hub(self.args.hub_model_id, out_dir)
         return out_dir
 
     def load_checkpoint(self, path: str):

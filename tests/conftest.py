@@ -94,7 +94,6 @@ _SLOW_TESTS = {
     "test_7b_readiness.py::test_streaming_load_7b_geometry",
     "test_multihost_train_step.py::test_two_process_grpo_train_step",
     "test_trainer_e2e.py::test_merged_temporal_rollout_matches_sequential",
-    "test_sampler_compacting.py::test_compacting_compacts_and_survives_bucket_growth",
     # re-marked 2026-08-18 (fast loop had grown to 13 min on the 1-core
     # host; --durations=25 offenders >= 11s moved here, keeping the crash
     # regressions and one core parity test per feature in the default loop)
@@ -108,8 +107,6 @@ _SLOW_TESTS = {
     "test_pipeline.py::test_grpo_step_with_pipeline",
     "test_pipeline.py::test_sft_step_with_pipeline",
     "test_pipeline.py::test_pipeline_train_step_grad_parity",
-    "test_sampler_compacting.py::test_compacting_int8_kv_runs",
-    "test_sampler_compacting.py::test_compacting_greedy_matches_monolithic",
     "test_quant.py::test_int8_kv_segmented_decode_prefix_deterministic",
     "test_quant.py::test_int8_kv_decode_step_logits_close",
     "test_quant.py::test_int8_decode_runs_on_moe_family",

@@ -230,7 +230,7 @@ def test_batcher_head_major_matches_einsum(decode_quant):
 def test_auto_resolution_prefers_flash_on_tpu(monkeypatch):
     """auto (decode_impl=None) resolves to the fused kernel exactly when
     (a) the backend is real TPU, (b) the geometry passes the Mosaic
-    legality gate, and (c) compaction is off — XLA otherwise.  Pinned so
+    legality gate — XLA otherwise.  Pinned so
     the measured-best default (chip_measure_decode 2026-08-18: grouped
     kernel 1.07x int8 / 1.13x bf16; headline bench 6.27 -> 6.63 sps)
     can't silently regress to the einsum path."""
@@ -261,9 +261,6 @@ def test_auto_resolution_prefers_flash_on_tpu(monkeypatch):
     monkeypatch.setattr(sampler_mod.jax, "default_backend", lambda: "tpu")
     assert s._resolve_decode_impl(
         prompt_bucket=256, max_new_tokens=128) == "flash"
-    # compaction has no head-major path
-    assert s._resolve_decode_impl(
-        prompt_bucket=256, max_new_tokens=128, compaction=True) is None
     # illegal tail bucket (not a 128-multiple) falls back
     assert s._resolve_decode_impl(
         prompt_bucket=256, max_new_tokens=96) is None

@@ -186,7 +186,9 @@ def test_8bit_state_memory():
         leaf.size * 4
         for leaf in jax.tree_util.tree_leaves((st.mu_s, st.nu_s)))
     n = 4096 * 512
-    assert payload <= 2 * n + 16
+    # slack covers count + the PRNG key (the default rbg key is 4 uint32
+    # words vs threefry's 2)
+    assert payload <= 2 * n + 32
     assert scales <= 4 * n // 512
 
 

@@ -164,8 +164,7 @@ def test_decode_knob_validation():
     """Typos in decode_impl/decode_quant must raise, not silently fall
     back to the XLA/bf16 paths (a benchmark would measure nothing); an
     explicit 'flash' with Mosaic-illegal geometry must fail with a clear
-    message at the library boundary, not deep in kernel lowering; and
-    compaction (no head-major path) must reject flash impls."""
+    message at the library boundary, not deep in kernel lowering."""
     import pytest
 
     from spacer_tpu.models.qwen25_vl import init_params, tiny_config
@@ -190,13 +189,6 @@ def test_decode_knob_validation():
     with pytest.raises(ValueError, match="head_dim 128"):
         s.generate(ids, mask, params, position_ids=pos, deltas=deltas,
                    num_generations=1, max_new_tokens=2, temperature=0.0)
-
-    s_ref = Sampler(cfg, eos_token_id=-1, length_bucket=8,
-                    decode_impl="flash_ref")
-    with pytest.raises(ValueError, match="compaction"):
-        s_ref.generate(ids, mask, params, position_ids=pos, deltas=deltas,
-                       num_generations=1, max_new_tokens=2, temperature=0.0,
-                       compaction=True)
 
     with pytest.raises(ValueError, match="decode_impl"):
         ContinuousBatcher(cfg, params, slots=1, prompt_len=8,

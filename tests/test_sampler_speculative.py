@@ -114,17 +114,6 @@ def test_spec_flash_scope_validation():
         Sampler(cfg, eos_token_id=11, pad_token_id=0, speculate_k=-1)
 
 
-def test_spec_compaction_mutually_exclusive():
-    cfg = tiny_config()
-    params = init_params(jax.random.key(0), cfg, jnp.float32)
-    ids, mask, pos, deltas = _prompts(cfg, B=1, S=8)
-    s = Sampler(cfg, eos_token_id=11, pad_token_id=0, length_bucket=8,
-                speculate_k=2)
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        s.generate(ids, mask, params, position_ids=pos, deltas=deltas,
-                   num_generations=2, max_new_tokens=8, compaction=True)
-
-
 def test_trainer_speculative_rollout_e2e(tmp_path):
     """SGRLVRTrainer with speculate_k > 0 completes a training step (real
     mp4 rollout) and reports acceptance telemetry — the trainer-side

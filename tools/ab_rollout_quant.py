@@ -1,20 +1,29 @@
-"""RL-quality A/B: bf16 vs int8_kv ROLLOUT decode (VERDICT r3 #3).
+"""RL-quality A/Bs: (a) bf16 vs int8_kv ROLLOUT decode (VERDICT r3 #3),
+(b) float32 vs int8 Adam MOMENTS (VERDICT r4 #6).
 
 Does quantizing the rollout's sampling distribution (int8 weights + int8 KV,
-ops/quant.py, ~0.5% RMS logit perturbation) change RL training dynamics?
-Two GRPO arms train a tiny model from the SAME init/seed on a reward the
-policy can actually learn at tiny scale — fraction of emitted token ids
-below 200 (GRPO shifts mass onto low ids; varies within groups so
-advantages are nonzero from step 0).  A third arm re-runs bf16 with a
-different seed to calibrate the between-seed noise floor.
+ops/quant.py, ~0.5% RMS logit perturbation) — or quantizing the optimizer's
+moment storage (train/optimizer.py blockwise int8, the bitsandbytes role) —
+change RL training dynamics?  Arms train a tiny model from the SAME init on
+a reward the policy can actually learn at tiny scale — fraction of emitted
+token ids below 200 (GRPO shifts mass onto low ids; varies within groups so
+advantages are nonzero from step 0).
 
-Decision rule (printed): if |int8_kv - bf16| on final-10-step mean reward
-and mean |KL| is within the bf16 seed-to-seed spread, the quantized rollout
-is RL-indistinguishable at this scale and may ship as the default.
+Noise floor: each arm runs at MULTIPLE seeds (default 3 — ADVICE r4 asked
+for more than the original single reseed); the baseline seed-to-seed spread
+(max - min of the bf16/f32 finals) calibrates what "no effect" looks like.
+
+Decision rule (printed): if |mean(treated finals) - mean(baseline finals)|
+on final-10-step mean reward and mean |KL| is within the baseline
+seed-to-seed spread, the treatment is RL-indistinguishable at this scale
+and may ship as the default.  CAVEAT (documented in SGRLVRConfig too): the
+reward here is synthetic — a realistic-reward A/B (cogmap/accuracy on real
+CoT text) needs a real tokenizer + checkpoint, which this environment
+cannot mount; revisit when one exists.
 
 Run (TPU or CPU): PYTHONPATH=/root/repo:/root/.axon_site \
-    python tools/ab_rollout_quant.py [steps]
-Writes tools/ab_rollout_quant.json.
+    python tools/ab_rollout_quant.py [steps] [rollout_quant|moments]
+Writes tools/ab_rollout_quant.json / tools/ab_moments.json.
 """
 
 import json
@@ -52,7 +61,8 @@ def lowid_reward(completions, solution, **kw):
     return out
 
 
-def run_arm(name, decode_quant, seed, steps, video):
+def run_arm(name, seed, steps, video, *, decode_quant=None,
+            moment_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +85,7 @@ def run_arm(name, decode_quant, seed, steps, video):
         learning_rate=5e-4, beta=0.04, temporal=False, len_control=False,
         max_steps=steps, output_dir=f"/tmp/ab_{name}", prompt_bucket=128,
         remat=False, logp_chunk=16, seed=seed, decode_quant=decode_quant,
-        moment_dtype="float32",
+        moment_dtype=moment_dtype,
     )
     tr = SGRLVRTrainer(cfg, params, proc, [lowid_reward],
                        [row] * steps, args)
@@ -89,46 +99,77 @@ def run_arm(name, decode_quant, seed, steps, video):
     return {"reward": rewards, "kl": kls, "completion_length": lens}
 
 
-def main(steps=50):
-    video = make_video("/tmp/ab_clip.mp4")
-    arms = {
-        "bf16_s0": run_arm("bf16_s0", None, 0, steps, video),
-        "int8kv_s0": run_arm("int8kv_s0", "int8_kv", 0, steps, video),
-        "bf16_s1": run_arm("bf16_s1", None, 1, steps, video),
-    }
+def _stats(a):
     tail = slice(-10, None)
+    return {
+        "final_reward": float(np.mean(a["reward"][tail])),
+        "mean_kl": float(np.mean(a["kl"])),
+        "final_len": float(np.mean(a["completion_length"][tail])),
+        "learned": float(np.mean(a["reward"][tail])
+                         - np.mean(a["reward"][:10])),
+    }
 
-    def stats(a):
-        return {
-            "final_reward": float(np.mean(a["reward"][tail])),
-            "mean_kl": float(np.mean(a["kl"])),
-            "final_len": float(np.mean(a["completion_length"][tail])),
-            "learned": float(np.mean(a["reward"][tail])
-                             - np.mean(a["reward"][:10])),
-        }
 
-    s = {k: stats(v) for k, v in arms.items()}
-    quant_delta = abs(s["int8kv_s0"]["final_reward"]
-                      - s["bf16_s0"]["final_reward"])
-    seed_delta = abs(s["bf16_s1"]["final_reward"]
-                     - s["bf16_s0"]["final_reward"])
-    kl_quant = abs(s["int8kv_s0"]["mean_kl"] - s["bf16_s0"]["mean_kl"])
-    kl_seed = abs(s["bf16_s1"]["mean_kl"] - s["bf16_s0"]["mean_kl"])
-    verdict = ("INDISTINGUISHABLE" if quant_delta <= max(seed_delta, 0.02)
-               and kl_quant <= max(kl_seed, 0.002) else "DISTINGUISHABLE")
-    out = {"steps": steps, "arms": s,
-           "quant_delta_reward": quant_delta,
-           "seed_delta_reward": seed_delta,
-           "quant_delta_kl": kl_quant, "seed_delta_kl": kl_seed,
+def run_ab(mode, steps=50, seeds=(0, 1, 2)):
+    """mode 'rollout_quant': baseline decode_quant=None vs int8_kv.
+    mode 'moments': baseline moment_dtype float32 vs int8 (rollout fixed
+    at the shipped int8_kv in BOTH arms so the comparison isolates the
+    optimizer)."""
+    video = make_video("/tmp/ab_clip.mp4")
+    if mode == "rollout_quant":
+        base_kw = {"decode_quant": None}
+        treat_kw = {"decode_quant": "int8_kv"}
+        base_name, treat_name = "bf16", "int8kv"
+        out_file = "ab_rollout_quant.json"
+    elif mode == "moments":
+        base_kw = {"decode_quant": "int8_kv", "moment_dtype": "float32"}
+        treat_kw = {"decode_quant": "int8_kv", "moment_dtype": "int8"}
+        base_name, treat_name = "f32mom", "int8mom"
+        out_file = "ab_moments.json"
+    else:
+        raise ValueError(mode)
+
+    arms = {}
+    for s in seeds:
+        arms[f"{base_name}_s{s}"] = run_arm(
+            f"{base_name}_s{s}", s, steps, video, **base_kw)
+        arms[f"{treat_name}_s{s}"] = run_arm(
+            f"{treat_name}_s{s}", s, steps, video, **treat_kw)
+
+    st = {k: _stats(v) for k, v in arms.items()}
+    base_fin = [st[f"{base_name}_s{s}"]["final_reward"] for s in seeds]
+    treat_fin = [st[f"{treat_name}_s{s}"]["final_reward"] for s in seeds]
+    base_kl = [st[f"{base_name}_s{s}"]["mean_kl"] for s in seeds]
+    treat_kl = [st[f"{treat_name}_s{s}"]["mean_kl"] for s in seeds]
+
+    delta_reward = abs(float(np.mean(treat_fin)) - float(np.mean(base_fin)))
+    spread_reward = float(np.max(base_fin) - np.min(base_fin))
+    delta_kl = abs(float(np.mean(treat_kl)) - float(np.mean(base_kl)))
+    spread_kl = float(np.max(base_kl) - np.min(base_kl))
+    verdict = ("INDISTINGUISHABLE"
+               if delta_reward <= max(spread_reward, 0.02)
+               and delta_kl <= max(spread_kl, 0.002)
+               else "DISTINGUISHABLE")
+    out = {"mode": mode, "steps": steps, "seeds": list(seeds), "arms": st,
+           "quant_delta_reward": delta_reward,
+           "seed_spread_reward": spread_reward,
+           "quant_delta_kl": delta_kl, "seed_spread_kl": spread_kl,
            "verdict": verdict,
+           "caveat": ("synthetic lowid reward on a tiny random-init model; "
+                      "a realistic-reward A/B needs a mounted checkpoint"),
            "curves": arms}
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "ab_rollout_quant.json")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), out_file)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "curves"},
                      indent=1))
+    return out
+
+
+def main(steps=50, mode="rollout_quant"):
+    run_ab(mode, steps)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50,
+         sys.argv[2] if len(sys.argv) > 2 else "rollout_quant")

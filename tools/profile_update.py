@@ -88,8 +88,19 @@ def build(remat="dots_narrow", beta=0.04):
             rng.normal(size=(G,)).astype(np.float32)),
         "pixel_values": pixel_values,
     }
-    tx = make_optimizer(learning_rate=1e-6, total_steps=1000)
-    return cfg, params, batch, (grid1,), G, tx, remat, beta
+    import os
+
+    # int8 matches the headline bench's moment storage (bench.py
+    # _bench_moment_dtype: f32 moments don't fit single-chip HBM next to
+    # policy+ref+activations); SPACER_PROFILE_MOMENTS=float32 for the
+    # torch-parity apply cost
+    tx = make_optimizer(
+        learning_rate=1e-6, total_steps=1000,
+        moment_dtype=os.environ.get("SPACER_PROFILE_MOMENTS", "int8"))
+    # a LIST: parts that donate params (opt/step) write the updated tree
+    # back to built[1] — an extra defensive copy would not fit HBM next to
+    # the moments
+    return [cfg, params, batch, (grid1,), G, tx, remat, beta]
 
 
 def timeit(fn, n=3):
@@ -221,6 +232,7 @@ def part_opt(built):
 
     dt, _ = timeit(run)
     print(f"opt_apply_s: {dt:.4f}  (x8 applies = {8*dt:.3f}s)", flush=True)
+    built[1] = params  # the original tree was donated away; hand back
 
 
 def part_step(built):
@@ -245,6 +257,7 @@ def part_step(built):
     dt, _ = timeit(run)
     print(f"full_step_per_group_s: {dt:.4f}  (x8 groups = {8*dt:.3f}s)",
           flush=True)
+    built[1] = params  # donated through the step; hand back the live tree
 
 
 def _loop_time(fn, x0, n=100, warm=1):
