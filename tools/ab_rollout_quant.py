@@ -166,10 +166,11 @@ def run_ab(mode, steps=50, seeds=(0, 1, 2)):
     return out
 
 
-def main(steps=50, mode="rollout_quant"):
-    run_ab(mode, steps)
+def main(steps=50, mode="rollout_quant", n_seeds=3):
+    run_ab(mode, steps, seeds=tuple(range(n_seeds)))
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 50,
-         sys.argv[2] if len(sys.argv) > 2 else "rollout_quant")
+         sys.argv[2] if len(sys.argv) > 2 else "rollout_quant",
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3)

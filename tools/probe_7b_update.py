@@ -54,8 +54,9 @@ def measure(num_layers: int, C: int, G: int = 8, P_len: int = 2048):
     import jax
     import jax.numpy as jnp
 
+    import optax
+
     from spacer_tpu.models.qwen25_vl import get_rope_index, init_params
-    from spacer_tpu.train import make_optimizer
     from spacer_tpu.train.step import make_grpo_train_step
 
     cfg = build_cfg(num_layers)
@@ -67,8 +68,15 @@ def measure(num_layers: int, C: int, G: int = 8, P_len: int = 2048):
     print(f"# L={num_layers}: params resident {n_bytes/2**30:.2f} GiB",
           flush=True)
 
-    tx = make_optimizer(learning_rate=1e-6, total_steps=1000,
-                        moment_dtype="int8")
+    # trivial optimizer for the TIMING probe: the int8-Adam apply's
+    # per-leaf f32 dequant->EMA->requant temps are sized by the LARGEST
+    # leaf — at 7B the 545M-element embedding needs ~9GB of fused-loop
+    # temps, which OOMs single-chip next to params+grads (on the fsdp
+    # mesh that leaf is 8-way sharded, so the real 7B apply is fine).
+    # The apply share is extrapolated from the measured 1.3B apply
+    # (79.2 ms for 2.6 GiB of bf16 params — elementwise, bytes-linear)
+    # and reported separately in the JSON.
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.scale(-1e-6))
     opt_state = tx.init(params)
 
     T, H, W = 16, 224, 420
@@ -146,6 +154,9 @@ def main():
     (a, b), *_ = np.linalg.lstsq(A, np.asarray(ts), rcond=None)
     t28 = a + b * 28
     G = 8
+    # int8-Adam apply, bytes-linear from the 1.3B measurement (one apply
+    # per global step under the accumulated update)
+    apply_28l_s = 0.0792 * (15.2 / 2.6)
     out = {
         "metric": "update_7b_extrapolated_s_per_group",
         "value": round(float(t28), 3),
@@ -156,6 +167,9 @@ def main():
         "a_fixed_s": round(float(a), 4),
         "b_per_layer_s": round(float(b), 4),
         "implied_update_sps_28L": round(G / float(t28), 3),
+        "apply_extrapolated_s_28L": round(apply_28l_s, 3),
+        "apply_basis": "1.3B int8 apply 79.2ms, bytes-linear; one "
+                       "apply per global step (accumulated update)",
         "note": ("true 7B layer geometry (3584/18944/152k head) at reduced "
                  "layer counts + linear fit; FULL 28L single-chip update is "
                  "arithmetically infeasible (bf16 params 15.2GiB + grads "
