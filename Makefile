@@ -17,9 +17,13 @@ test:
 	python -m pytest tests/ -x -q
 
 # the FULL suite, slow tests included.  Two pytest processes: a single
-# process accumulates XLA:CPU compiler state over the ~250 compiles and
-# has been observed to segfault inside backend_compile near the end of
-# the run (tests pass in isolation); process sharding bounds that state.
+# process has been observed to segfault inside backend_compile near the
+# end of the run (tests pass in isolation).  Characterized by
+# tools/repro_xla_cpu_segfault.py (2026-08-20): 600 structure-varied
+# compiles in one process complete with FLAT 228MB RSS, ruling out raw
+# compile count — the trigger needs the suite's multi-GB large-program
+# compiles on a heap holding every prior test's live executables; the
+# process split bounds exactly that.
 test-all:
 	python -m pytest tests/test_[a-m]*.py -x -q -m ""
 	python -m pytest tests/test_[n-z]*.py -x -q -m ""

@@ -404,7 +404,7 @@ def bench_grpo():
     }
 
 
-def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
+def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
                     cfg=None, vid=(16, 224, 420)):
     """Headline: FULL RL iteration throughput, samples/sec/chip — batched
     rollout (B prompt-groups x G completions sharing each prompt's KV prefix,
@@ -503,6 +503,11 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
                       length_bucket=P_len)
     import os as _os
 
+    # SPACER_BENCH_ITERS: timed iterations (default 3).  The relay chip runs
+    # the first ~5 post-compile calls ~15% slow, so experiment runs use
+    # higher values to push the warmup tail out of the mean.
+    if iters is None:
+        iters = int(_os.environ.get("SPACER_BENCH_ITERS", "3"))
     quant_mode = _os.environ.get("SPACER_BENCH_QUANT", "int8_kv")
     sampler_q8 = Sampler(cfg, eos_token_id=-1, pad_token_id=0,
                          length_bucket=P_len, decode_quant=quant_mode)
@@ -545,11 +550,13 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
     # at these shapes; phase-scoped allocation removes the overlap entirely
     # at the cost of one ~6ms zeros program per iteration)
 
-    # SPACER_BENCH_PHASES=1: accumulate rollout vs update wall time (the
-    # sampler returns host arrays, so the generate call is a natural sync
-    # point; the update phase ends at the loss fetch)
+    # SPACER_BENCH_PHASES (default ON): accumulate rollout vs update wall
+    # time (the sampler returns host arrays, so the generate call is a
+    # natural sync point; the update phase ends at the loss fetch — both
+    # syncs exist regardless, so the split is free) and report it in the
+    # headline JSON.
     phase_times = {"rollout_s": 0.0, "update_s": 0.0}
-    time_phases = _os.environ.get("SPACER_BENCH_PHASES") == "1"
+    time_phases = _os.environ.get("SPACER_BENCH_PHASES", "1") == "1"
     # SPACER_BENCH_PHASED=1 (experimental, implies accum): pinned-host
     # residency for the ref params and Adam moments (parallel/offload.py,
     # the ZeRO-offload machinery) so the grad-chunk phase runs with ~6GB
@@ -603,6 +610,27 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
             "completion_position_ids": jnp.asarray(pos_full[:, sl]),
         })
 
+    # loop-invariant pixel chunks: sliced from the pre-placed device array
+    # ONCE (a per-iteration device slice would be update_groups extra relay
+    # dispatches for identical results)
+    pixel_chunks = [
+        pixel_values[u * UB * n_patches:(u + 1) * UB * n_patches]
+        for u in range(update_groups)
+    ]
+    jax.block_until_ready(pixel_chunks)
+
+    @jax.jit
+    def _split_chunks(seqs, cmask, adv):
+        """All per-iteration chunk slices in ONE program: the eager
+        per-chunk `x[sl]` form dispatches 3 x update_groups tiny slice
+        programs per iteration, each paying the relay's ~28ms RTT — at 8
+        chunks that overhead rivals an entire grad_chunk program."""
+        out = []
+        for u in range(update_groups):
+            sl = slice(u * UB * G, (u + 1) * UB * G)
+            out.append((seqs[sl], cmask[sl], adv[sl]))
+        return out
+
     def one_iteration(params, ref_params, opt_state, seed, sampler=sampler):
         # batched rollout: all B groups decode in ONE program (B*G rows)
         tp0 = time.perf_counter()
@@ -613,21 +641,19 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
         )
         tp1 = time.perf_counter()
         adv = rng.normal(size=(B * G,)).astype(np.float32)
-        # per-iteration variable data uploads once; chunks slice on device
-        seqs_d = jnp.asarray(out.sequences.astype(np.int32))
-        cmask_d = jnp.asarray(out.completion_mask.astype(np.int32))
-        adv_d = jnp.asarray(adv)
+        # per-iteration variable data uploads once; chunks split on device
+        # in one program
+        splits = _split_chunks(out.sequences.astype(np.int32),
+                               out.completion_mask.astype(np.int32), adv)
 
         def chunk_batch(u):
-            sl = slice(u * UB * G, (u + 1) * UB * G)
+            seqs_u, cmask_u, adv_u = splits[u]
             return {
                 **prompt_chunks[u],
-                "completion_ids": seqs_d[sl],
-                "completion_mask": cmask_d[sl],
-                "advantages": adv_d[sl],
-                # device-side slice of the pre-placed pixels (no re-upload)
-                "pixel_values": pixel_values[
-                    u * UB * n_patches:(u + 1) * UB * n_patches],
+                "completion_ids": seqs_u,
+                "completion_mask": cmask_u,
+                "advantages": adv_u,
+                "pixel_values": pixel_chunks[u],
             }
 
         if accum:
@@ -762,6 +788,14 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=3, *,
             accum_dtype] if accum else None),
         "moment_dtype": _bench_moment_dtype(),
         "remat": remat_mode,
+        # per-iteration phase split of the headline (int8) leg — the
+        # rollout/update balance the round-4 review asked the headline to
+        # carry (sync points are the rollout's host fetch and the loss
+        # fetch, both present regardless of timing)
+        "rollout_s_per_iter": (round(phase_times["rollout_s"] / iters, 2)
+                               if time_phases else None),
+        "update_s_per_iter": (round(phase_times["update_s"] / iters, 2)
+                              if time_phases else None),
     }
 
 

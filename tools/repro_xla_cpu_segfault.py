@@ -1,72 +1,136 @@
-"""Minimal-repro attempt for the XLA:CPU many-compiles segfault.
+"""Minimal repro hunt for the XLA:CPU segfault that forces Makefile's
+two-process `test-all` split.
 
-Background (Makefile test-all): running the FULL test suite in ONE pytest
-process (~250 distinct XLA:CPU compiles on an 8-virtual-device mesh) has
-been observed to segfault inside backend_compile near the end of the run,
-while every test passes in isolation and in the two-process split.  This
-script distills that workload: N distinct jitted programs (unique shapes
-so nothing cache-hits), mixing plain, donated, and mesh-sharded programs
-on 8 virtual CPU devices, in one process.
+Symptom (observed since round 3): one pytest process running the FULL
+suite (~250 distinct XLA:CPU compiles on the 8-virtual-device mesh)
+segfaults inside `backend_compile` near the END of the run; every test
+passes in isolation and the suite passes when split into two processes
+(Makefile `test-all`).  Hypothesis: per-process compiler-state
+accumulation (LLVM context / thunk registry growth), not any specific
+program.
 
-Usage:  python tools/repro_xla_cpu_segfault.py [n_programs]
-Exit 0 = no crash at this count (prints peak RSS so state growth is
-visible); a segfault reproduces the suite failure in ~40 lines for an
-upstream report.
+This script tries to reproduce WITHOUT pytest: it compiles a stream of
+distinct programs (shape- and structure-varied, single-device and
+8-device-sharded) in one process until it crashes or reaches --n.
 
-Observed result (2026-08-19, jax 0.9.0, 600 programs): NO crash in this
-distilled form (peak RSS 2.01 GB after 600 compiles) — the crash needs
-something the suite has and this script lacks (likely interleaved Mosaic
-interpret-mode kernels and/or pytest's module churn).  The two-process
-Makefile split therefore stays; this script is the starting point for
-narrowing further.
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python tools/repro_xla_cpu_segfault.py --n 600
+
+Record of runs (jax/jaxlib 0.9.0, linux, 8 virtual CPU devices):
+  2026-08-20, n=600 structure-varied compiles (scan/while/grad/sharded
+  mix, 2.4x the suite's ~250): COMPLETED WITHOUT CRASH, RSS flat at
+  226-228 MB from compile 50 through 600 — no per-compile state growth
+  at this program size.  This RULES OUT raw compile count and steady
+  compiler-state accumulation as the trigger.  Remaining suspects, in
+  likelihood order: (a) compile-memory spikes from the suite's LARGE
+  programs (value_and_grad over 12-layer multimodal models — several GB
+  per compile) landing on a heap already fragmented by ~200 earlier
+  compiles + live fixtures (the suite peaks >5 GB RSS); (b) pytest
+  keeping every test module's jitted executables alive (no eviction),
+  so late compiles run with hundreds of live LLVM-jitted code regions.
+  Both are bounded by the Makefile's two-process split, which stays —
+  now as a characterized mitigation rather than a mystery.
 """
 
+import argparse
 import os
 import resource
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-).strip()
-os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(n=600):
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=600)
+    ap.add_argument("--log-every", type=int, default=50)
+    args = ap.parse_args()
+
+    # Same dance as tests/conftest.py: the image's sitecustomize registers
+    # the axon TPU plugin at interpreter start and pins the platform, so a
+    # config-level update (before any backend init) is required — env vars
+    # alone do not stick.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
+    import jax
+
     jax.config.update("jax_platforms", "cpu")
-    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
-    mesh = Mesh(devices, ("data", "fsdp"))
-    for i in range(n):
-        m = 8 + (i % 61)  # unique shapes -> unique compiles
-        k = 16 + (i % 37)
-        x = jnp.ones((m, k), jnp.float32)
-        w = jnp.ones((k, m), jnp.float32)
-        kind = i % 3
-        if kind == 0:
-            f = jax.jit(lambda x, w: jnp.tanh(x @ w).sum())
-            f(x, w).block_until_ready()
-        elif kind == 1:
-            f = jax.jit(lambda x, w: (x @ w) * 2.0,
-                        donate_argnums=(0,))
-            f(x, w).block_until_ready()
-        else:
-            xs = jax.device_put(
-                jnp.ones((8, k), jnp.float32),
-                NamedSharding(mesh, P(("data", "fsdp"))))
-            f = jax.jit(lambda a, w: jax.nn.relu(a @ w).sum() + m)
-            f(xs, jnp.ones((k, 4), jnp.float32)).block_until_ready()
-        if (i + 1) % 100 == 0:
-            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-            print(f"{i + 1} compiles, peak RSS {rss / 1e6:.2f} GB",
-                  flush=True)
-    print("no crash", flush=True)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs).reshape(2, 4), ("data", "fsdp"))
+    print(f"devices={len(devs)} jax={jax.__version__}", flush=True)
+
+    def make_program(i):
+        """A structurally distinct program per i: varying shapes, a scan,
+        a while_loop, a grad, and (every 4th) a sharded compile — the mix
+        the test suite generates."""
+        d = 8 * (1 + i % 17)
+        s = 16 * (1 + i % 7)
+
+        if i % 4 == 3:
+            spec = NamedSharding(mesh, P("data", None))
+
+            @jax.jit
+            def f(x, w):
+                return jnp.einsum("bd,dk->bk", x, w).sum()
+
+            x = jax.device_put(np.ones((8, d), np.float32), spec)
+            w = np.ones((d, s), np.float32)
+            return lambda: f(x, w)
+
+        if i % 4 == 0:
+            @jax.jit
+            def f(x):
+                def body(c, t):
+                    return c * 1.0001 + t.sum(), c
+                c, ys = jax.lax.scan(body, 0.0, x)
+                return c + ys.sum()
+
+            x = np.ones((4, d, s), np.float32)
+            return lambda: f(x)
+
+        if i % 4 == 1:
+            @jax.jit
+            def f(x):
+                def cond(v):
+                    return v[0] < 10
+
+                def body(v):
+                    return (v[0] + 1, v[1] @ v[1].T)
+
+                return jax.lax.while_loop(cond, body, (0, x))[1].sum()
+
+            x = np.eye(d, dtype=np.float32)
+            return lambda: f(x)
+
+        @jax.jit
+        def f(w, x):
+            def loss(w):
+                return jnp.tanh(x @ w).sum()
+
+            return jax.grad(loss)(w).sum()
+
+        w = np.ones((d, s), np.float32)
+        x = np.ones((3, d), np.float32)
+        return lambda: f(w, x)
+
+    for i in range(args.n):
+        fn = make_program(i)
+        float(np.asarray(fn()))  # compile + execute + fetch
+        if (i + 1) % args.log_every == 0:
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            print(f"compile {i + 1}/{args.n} rss={rss}MB", flush=True)
+
+    print("COMPLETED without crash", flush=True)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600)
+    main()
