@@ -535,6 +535,20 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
     # int8 moments, dots_narrow): accum-bf16 6.29 sps (update 6.46s) vs
     # sequential 6.234 sps (update 6.74s) — semantics AND speed.
     accum = _os.environ.get("SPACER_BENCH_ACCUM", "1") == "1"
+    # SPACER_BENCH_SCAN_ACCUM=1: the whole accumulation as ONE scan program
+    # (step.step_accum) instead of update_groups grad_chunk dispatches +
+    # one apply.  MEASURED DEAD END single-chip (v5e 2026-08-20): update
+    # 63.45s/iteration vs 6.46s for the host-driven loop — XLA cannot keep
+    # the 2.5GB bf16 carry in place next to the vag activations at this
+    # scale and spills across scan steps.  The same experiment ruled OUT
+    # per-dispatch overhead as the update bottleneck: host dispatch of all
+    # 8 grad_chunk programs measures 0.02s (SPACER_BENCH_TIMING); the
+    # update phase is device-serial program time.  step_accum remains the
+    # right form where the carry is small (sharded meshes).
+    scan_accum = _os.environ.get("SPACER_BENCH_SCAN_ACCUM") == "1"
+    # SPACER_BENCH_TIMING=1: print per-section host times inside the update
+    # (split/dispatch/drain/apply) to locate wall-vs-program-sum gaps.
+    sec_timing = _os.environ.get("SPACER_BENCH_TIMING") == "1"
     # Accumulator dtype (declared in the JSON): f32 is exact global-batch
     # semantics but ResourceExhausts single-chip next to the int8 moments
     # + ref + activations (measured 2026-08-19, with dots_narrow AND full
@@ -619,6 +633,25 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
     ]
     jax.block_until_ready(pixel_chunks)
 
+    # stacked loop-invariant chunks for the scan-accum leg: same tensors as
+    # prompt_chunks/pixel_chunks with a leading n_accum axis (contiguous
+    # slices, so a reshape of the flat arrays is exact)
+    if scan_accum:
+        stacked_invariant = {
+            k: jnp.stack([pc[k] for pc in prompt_chunks], axis=0)
+            for k in prompt_chunks[0]
+        }
+        pixels_stacked = pixel_values.reshape(
+            update_groups, UB * n_patches, -1)
+        jax.block_until_ready((stacked_invariant, pixels_stacked))
+
+        @jax.jit
+        def _stack_var(seqs, cmask, adv):
+            S = seqs.shape[-1]
+            return (seqs.reshape(update_groups, UB * G, S),
+                    cmask.reshape(update_groups, UB * G, -1),
+                    adv.reshape(update_groups, UB * G))
+
     @jax.jit
     def _split_chunks(seqs, cmask, adv):
         """All per-iteration chunk slices in ONE program: the eager
@@ -643,8 +676,9 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
         adv = rng.normal(size=(B * G,)).astype(np.float32)
         # per-iteration variable data uploads once; chunks split on device
         # in one program
-        splits = _split_chunks(out.sequences.astype(np.int32),
-                               out.completion_mask.astype(np.int32), adv)
+        if not scan_accum:
+            splits = _split_chunks(out.sequences.astype(np.int32),
+                                   out.completion_mask.astype(np.int32), adv)
 
         def chunk_batch(u):
             seqs_u, cmask_u, adv_u = splits[u]
@@ -656,6 +690,27 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
                 "pixel_values": pixel_chunks[u],
             }
 
+        if scan_accum:
+            seqs_s, cmask_s, adv_s = _stack_var(
+                jnp.asarray(out.sequences.astype(np.int32)),
+                jnp.asarray(out.completion_mask.astype(np.int32)),
+                jnp.asarray(adv))
+            batch_s = {
+                **stacked_invariant,
+                "completion_ids": seqs_s,
+                "completion_mask": cmask_s,
+                "advantages": adv_s,
+                "pixel_values": pixels_stacked,
+            }
+            params, opt_state, metrics = step.step_accum(
+                params, ref_params, opt_state, batch_s,
+                grid_thw=(grid1,) * UB, num_generations=G,
+                accum_dtype=accum_dtype)
+            float(metrics["loss"])  # host sync
+            if time_phases:
+                phase_times["rollout_s"] += tp1 - tp0
+                phase_times["update_s"] += time.perf_counter() - tp1
+            return params, opt_state
         if accum:
             ref_lps = None
             if phased and beta != 0.0:
@@ -674,6 +729,7 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
             # across the loop), then ONE optimizer apply — the global-batch
             # AdamW semantics in update_groups+1 programs without the scan
             # carry's double buffering (which OOMs at this scale)
+            tu0 = time.perf_counter()
             gacc = step.init_gacc(params, accum_dtype)
             for u in range(update_groups):
                 cb = chunk_batch(u)
@@ -688,12 +744,14 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
                     # chunk u+1's reservation overlaps chunk u's temp peak
                     # (same async-dispatch over-reservation as the apply)
                     float(metrics["loss"])
+            tu1 = time.perf_counter()
             # drain the dispatch queue before the apply: dispatch is async,
             # so the apply program's buffers would otherwise be reserved
             # while the last grad_chunk is still at its temp peak — a
             # transient over-reservation that OOMs at 2 groups/program even
             # though both programs fit alone (measured on v5e, 2026-08-19)
             float(metrics["loss"])
+            tu2 = time.perf_counter()
             if phased:
                 # phase C: moments stream HBM-ward only for the apply
                 opt_state = to_device(opt_state)
@@ -703,6 +761,13 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
                 opt_state = offload_to_host(opt_state)
             del gacc  # freed before the next rollout (see NOTE above)
             metrics = dict(metrics, grad_norm=gnorm)
+            # sync on grad_norm so the apply program lands in the update
+            # phase rather than bleeding into the next rollout's timing
+            float(metrics["grad_norm"])
+            if sec_timing:
+                print(f"# update sections: dispatch={tu1 - tu0:.3f}s "
+                      f"drain={tu2 - tu1:.3f}s "
+                      f"apply={time.perf_counter() - tu2:.3f}s", flush=True)
         else:
             for u in range(update_groups):
                 params, opt_state, metrics = step(

@@ -55,6 +55,19 @@ def test_bench_iteration_phased_smoke(monkeypatch):
     assert result["update_programs_per_step"] == 1
 
 
+def test_bench_iteration_scan_accum_smoke(monkeypatch):
+    # the one-program scan accumulation leg (step.step_accum wired through
+    # the bench) must stay runnable
+    monkeypatch.setenv("SPACER_BENCH_UPDATE_GROUPS", "2")
+    monkeypatch.setenv("SPACER_BENCH_SCAN_ACCUM", "1")
+    result = bench.bench_iteration(
+        B=2, G=2, P_len=64, C=16, iters=1,
+        cfg=tiny_config(), vid=(4, 112, 140),
+    )
+    _check(result)
+    assert result["update_programs_per_step"] == 1
+
+
 def test_bench_encode_smoke():
     result = bench.bench_encode(
         cfg=tiny_config().vision, T=2, iters=2, host_frames=12,

@@ -353,6 +353,21 @@ def test_step_accum_matches_full_batch():
         pa, pb,
     )
 
+    # bf16 accumulator (the single-chip bench configuration): per-chunk
+    # losses are computed before accumulation (identical), and the
+    # mean-of-2 bf16 gradient rounding moves grad_norm by well under 1%
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    ref_params = init_params(jax.random.key(0), cfg, jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        _, _, mc = step.step_accum(
+            params, ref_params, tx.init(params), stacked,
+            grid_thw=(grid1,), num_generations=G,
+            accum_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(float(mc["loss"]), float(ma["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(mc["grad_norm"]),
+                               float(ma["grad_norm"]), rtol=1e-2)
+
 
 def test_grad_chunk_apply_matches_full_batch():
     """The host-driven chunked accumulation (grad_chunk with a donated

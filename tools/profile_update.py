@@ -338,8 +338,104 @@ def part_attn(built):
               f"{dt*96:.3f}s/iter)", flush=True)
 
 
+def part_acc(built):
+    """Params-sized bf16 tree add in a fori_loop: the pure device cost of
+    one gradient-accumulate (gacc + grads), isolating it from the vag it
+    is fused against inside grad_chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params, batch, grids, G, tx, remat, beta = built
+    gacc = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.bfloat16), params)
+    grads = jax.tree.map(lambda p: jnp.ones_like(p, jnp.bfloat16) * 1e-6,
+                         params)
+
+    @jax.jit
+    def add_loop(gacc, grads):
+        def body(i, a):
+            return jax.tree.map(
+                lambda x, g: x + (g + i.astype(g.dtype) * 0), a, grads)
+        return jax.lax.fori_loop(0, 8, body, gacc)
+
+    def run():
+        return _sync(add_loop(gacc, grads))
+
+    dt, _ = timeit(run)
+    print(f"acc_add_s (per add): {dt / 8:.4f}  (x8 = {dt:.3f}s)",
+          flush=True)
+
+
+def part_chunk(built):
+    """The SHIPPED per-chunk accumulation program (step.grad_chunk: ref fwd
+    + vag + accumulate fused) with a donated bf16 accumulator — the unit
+    the bench's update phase is 8 of.  Compare against fwd+vag+acc parts:
+    any excess is scheduling/memory-pressure cost inside the fused
+    program."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params, batch, grids, G, tx, remat, beta = built
+    from spacer_tpu.train.step import make_grpo_train_step
+
+    ref_params = jax.tree.map(jnp.copy, params)
+    step = make_grpo_train_step(cfg, tx, beta=beta, remat=remat)
+    gacc = step.init_gacc(params, jnp.bfloat16)
+
+    def run():
+        nonlocal gacc
+        gacc, metrics = step.grad_chunk(
+            params, ref_params, gacc, batch, grid_thw=grids,
+            num_generations=G)
+        return float(metrics["loss"])
+
+    dt, _ = timeit(run)
+    print(f"grad_chunk_s: {dt:.4f}  (x8 chunks = {8*dt:.3f}s)", flush=True)
+
+
+def part_chunk_split(built):
+    """grad_chunk with the ref forward SPLIT into its own program
+    (ref_logps precomputed via step.ref_logps_fn and passed in the batch).
+    Compare against `chunk`: if ref_program + split-chunk < fused chunk,
+    the fused form pays an XLA scheduling/pressure penalty and the bench
+    should dispatch the ref forwards separately (dispatch is ~free)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params, batch, grids, G, tx, remat, beta = built
+    from spacer_tpu.train.step import make_grpo_train_step
+
+    ref_params = jax.tree.map(jnp.copy, params)
+    step = make_grpo_train_step(cfg, tx, beta=beta, remat=remat)
+    gacc = step.init_gacc(params, jnp.bfloat16)
+
+    def run_ref():
+        return step.ref_logps_fn(ref_params, batch, grids, G)
+
+    lps = run_ref()
+    _sync(lps)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _sync(run_ref())
+    ref_dt = (time.perf_counter() - t0) / 3
+
+    batch2 = dict(batch, ref_logps=lps)
+
+    def run():
+        nonlocal gacc
+        gacc, metrics = step.grad_chunk(
+            params, ref_params, gacc, batch2, grid_thw=grids,
+            num_generations=G)
+        return float(metrics["loss"])
+
+    dt, _ = timeit(run)
+    print(f"ref_program_s: {ref_dt:.4f}  grad_chunk_preref_s: {dt:.4f}  "
+          f"(x8 = {8 * (ref_dt + dt):.3f}s)", flush=True)
+
+
 PARTS = {"rtt": part_rtt, "fwd": part_fwd, "vag": part_vag,
-         "opt": part_opt, "step": part_step, "attn": part_attn}
+         "opt": part_opt, "acc": part_acc, "chunk": part_chunk,
+         "chunk_split": part_chunk_split, "step": part_step,
+         "attn": part_attn}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
