@@ -515,8 +515,7 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
     # (2026-08-18, same session A/B) — small but strictly better, and it
     # fits the single-chip HBM where remat="dots" OOMs
     remat_mode = _os.environ.get("SPACER_BENCH_REMAT", "dots_narrow")
-    remat = {"1": True, "dots": "dots", "dots_narrow": "dots_narrow",
-             "0": False}[remat_mode]
+    remat = {"1": True, "0": False}.get(remat_mode, remat_mode)
     logp_chunk = int(_os.environ.get("SPACER_BENCH_LOGP_CHUNK", "256"))
     # SPACER_BENCH_BETA=0 skips the reference forward entirely (TRL beta=0
     # semantics) — a measurement knob to size the ref forward's share of
@@ -549,6 +548,12 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
     # SPACER_BENCH_TIMING=1: print per-section host times inside the update
     # (split/dispatch/drain/apply) to locate wall-vs-program-sum gaps.
     sec_timing = _os.environ.get("SPACER_BENCH_TIMING") == "1"
+    # Measurement knobs for sizing the sampling share of the decode step
+    # (bisection nucleus + full-vocab RNG): temp=0 is greedy argmax.  The
+    # headline configuration stays temperature=1.0 top_p=0.95 (the
+    # reference's sampling params, SG_RLVR_trainer.py vllm SamplingParams).
+    bench_temp = float(_os.environ.get("SPACER_BENCH_TEMP", "1.0"))
+    bench_topp = float(_os.environ.get("SPACER_BENCH_TOPP", "0.95"))
     # Accumulator dtype (declared in the JSON): f32 is exact global-batch
     # semantics but ResourceExhausts single-chip next to the int8 moments
     # + ref + activations (measured 2026-08-19, with dots_narrow AND full
@@ -670,7 +675,8 @@ def bench_iteration(B=8, G=8, P_len=2048, C=1024, iters=None, *,
         out = sampler.generate(
             prompt_ids, prompt_mask, params, position_ids=pos, deltas=deltas,
             pixel_values=pixel_values, grid_thw=grid, num_generations=G,
-            max_new_tokens=C, temperature=1.0, top_p=0.95, seed=seed,
+            max_new_tokens=C, temperature=bench_temp, top_p=bench_topp,
+            seed=seed,
         )
         tp1 = time.perf_counter()
         adv = rng.normal(size=(B * G,)).astype(np.float32)

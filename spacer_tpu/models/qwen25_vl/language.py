@@ -106,7 +106,11 @@ def _remat_wrap(layer_fn, remat, cfg: TextConfig):
             layer_fn,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         )
-    if remat == "dots_narrow":
+    if remat == "dots_narrow" or (
+            isinstance(remat, str) and remat.startswith("dots_mixed:")):
+        # dots_mixed is split into per-layer-range "dots"/"dots_narrow"
+        # scans by lm_apply; any other path (e.g. a cached decode) gets
+        # the narrow policy as the safe equivalent
         return jax.checkpoint(
             layer_fn, policy=narrow_dots_policy(cfg.intermediate_size)
         )
@@ -487,12 +491,28 @@ def lm_forward(
     )
 
     if cache is None:
-        def scan_body(h, layer_params):
-            layer = lambda hh, lp: body_fn(hh, lp, None)[0]  # noqa: E731
-            fn = _remat_wrap(layer, remat, cfg)
-            return fn(h, layer_params), None
+        def scan_body_for(mode):
+            def scan_body(h, layer_params):
+                layer = lambda hh, lp: body_fn(hh, lp, None)[0]  # noqa: E731
+                fn = _remat_wrap(layer, mode, cfg)
+                return fn(h, layer_params), None
 
-        h, _ = jax.lax.scan(scan_body, h, params["layers"])
+            return scan_body
+
+        if isinstance(remat, str) and remat.startswith("dots_mixed:"):
+            # "dots_mixed:K": the first K layers save their wide MLP
+            # intermediates too ("dots" policy — no gate/up recompute in
+            # backward), the rest run "dots_narrow".  K trades the HBM
+            # headroom that remains under dots_narrow (~336MB/layer at
+            # headline train shapes) back into ~0.7 TFLOP/layer of saved
+            # recompute; all-K is remat="dots", which OOMs single-chip.
+            k = int(remat.split(":", 1)[1])
+            wide = jax.tree.map(lambda x: x[:k], params["layers"])
+            rest = jax.tree.map(lambda x: x[k:], params["layers"])
+            h, _ = jax.lax.scan(scan_body_for("dots"), h, wide)
+            h, _ = jax.lax.scan(scan_body_for("dots_narrow"), h, rest)
+        else:
+            h, _ = jax.lax.scan(scan_body_for(remat), h, params["layers"])
         new_cache = None
     else:
         def scan_body(h, xs):

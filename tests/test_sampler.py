@@ -125,6 +125,25 @@ def test_sample_logits_top_p():
     assert counts[0] > counts[1] > 0
 
 
+def test_sample_logits_distribution_exact():
+    """The inverse-CDF draw must target EXACTLY the renormalized nucleus:
+    empirical frequencies over 40k draws vs p_i / p(nucleus), 5-sigma
+    bands per token."""
+    import jax.numpy as jnp
+
+    p = np.array([0.45, 0.25, 0.15, 0.08, 0.04, 0.02, 0.007, 0.003])
+    top_p = 0.9  # nucleus keeps {0,1,2,3} (cum 0.93 >= 0.9 at index 3)
+    logits = jnp.broadcast_to(jnp.log(jnp.asarray(p))[None], (40000, 8))
+    toks = np.asarray(sample_logits(logits, jax.random.key(7), 1.0, top_p))
+    counts = np.bincount(toks, minlength=8)
+    assert counts[4:].sum() == 0  # outside the nucleus: never
+    kept = p[:4] / p[:4].sum()
+    n = counts.sum()
+    for i in range(4):
+        sigma = np.sqrt(n * kept[i] * (1 - kept[i]))
+        assert abs(counts[i] - n * kept[i]) < 5 * sigma, (i, counts)
+
+
 def test_sample_logits_greedy():
     logits = jnp.array([[0.1, 5.0, 0.2], [3.0, 0.0, 0.1]])
     out = sample_logits(logits, jax.random.key(0), 0.0, 1.0)

@@ -369,6 +369,42 @@ def test_step_accum_matches_full_batch():
                                float(ma["grad_norm"]), rtol=1e-2)
 
 
+def test_remat_modes_same_gradients():
+    """Rematerialization is a memory/flops schedule, never math: the GRPO
+    step must produce identical loss and gradients under full remat,
+    dots_narrow, and the mixed per-layer-range policy (dots_mixed:K, which
+    saves the wide MLP intermediates for the first K layers only)."""
+    cfg = tiny_config()
+    G, P_len, C = 4, 64, 16
+    _, shared, grid = _two_group_batches(cfg, G=G, P_len=P_len, C=C)
+
+    outs = []
+    for remat in (True, "dots_narrow", "dots_mixed:1"):
+        tx = make_optimizer(learning_rate=1e-3, total_steps=100)
+        step = make_grpo_train_step(cfg, tx, beta=0.04, remat=remat,
+                                    attn_impl="xla", logp_chunk=8)
+        params = init_params(jax.random.key(0), cfg, jnp.float32)
+        ref_params = init_params(jax.random.key(0), cfg, jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            p2, _, metrics = step(
+                params, ref_params, tx.init(params), shared,
+                grid_thw=grid, num_generations=G)
+        outs.append((p2, metrics))
+    (pa, ma), (pb, mb), (pc, mc) = outs
+    for m2 in (mb, mc):
+        np.testing.assert_allclose(float(ma["loss"]), float(m2["loss"]),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(float(ma["grad_norm"]),
+                                   float(m2["grad_norm"]),
+                                   rtol=1e-5, atol=1e-7)
+    for p2 in (pb, pc):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+            pa, p2,
+        )
+
+
 def test_grad_chunk_apply_matches_full_batch():
     """The host-driven chunked accumulation (grad_chunk with a donated
     accumulator + one apply_grads) must match the full-batch step exactly,

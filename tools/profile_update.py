@@ -193,9 +193,14 @@ def part_vag(built):
             p2 = jax.tree.map(
                 lambda p: p + (acc * 1e-30).astype(p.dtype), params)
             loss, grads = jax.value_and_grad(loss_fn)(p2, batch)
-            g0 = jax.tree_util.tree_leaves(grads)[0]
-            return acc + loss.astype(jnp.float32) \
-                + g0.sum().astype(jnp.float32) * 1e-9
+            # consume EVERY grad leaf: summing only one leaf lets XLA
+            # dead-code-eliminate the other leaves' dW matmuls (~half the
+            # backward), which measured 0.463s/group for a vag whose
+            # honest cost is ~0.65s (caught 2026-08-20 when grad_chunk
+            # "exceeded" its parts)
+            gsum = sum(g.sum().astype(jnp.float32)
+                       for g in jax.tree_util.tree_leaves(grads))
+            return acc + loss.astype(jnp.float32) + gsum * 1e-9
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
