@@ -29,6 +29,10 @@ def dense(params, x, precision=None):
         from spacer_tpu.ops.quant import dense_q8
 
         return dense_q8(params, x)
+    if "kernel_q4" in params:  # packed int4 (ops/quant.py + int4_matmul)
+        from spacer_tpu.ops.quant import dense_q4
+
+        return dense_q4(params, x)
     y = jnp.dot(x, params["kernel"], precision=precision)
     if "bias" in params:
         y = y + params["bias"]

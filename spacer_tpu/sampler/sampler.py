@@ -119,11 +119,12 @@ def _prep_decode(params, text_cfg, prefix_cache, tail_cache,
 
     L = text_cfg.num_layers
     layer_params = params["model"]["layers"]
-    if decode_quant in ("int8", "int8_kv"):
+    if decode_quant in ("int8", "int8_kv", "int4", "int4_kv"):
         from spacer_tpu.ops.quant import quantize_decode_weights
 
         layer_params, head_q = quantize_decode_weights(
-            layer_params, params["model"].get("lm_head"))
+            layer_params, params["model"].get("lm_head"),
+            bits=4 if decode_quant.startswith("int4") else 8)
         if head_q is not None:
             params = dict(params)
             params["model"] = dict(params["model"])
@@ -142,7 +143,7 @@ def _prep_decode(params, text_cfg, prefix_cache, tail_cache,
             tuple(jnp.transpose(t, (0, 2, 1, 3)) for t in e)
             for e in tail_split
         )
-    if decode_quant == "int8_kv":
+    if decode_quant in ("int8_kv", "int4_kv"):
         from spacer_tpu.ops.quant import quantize_kv
 
         def quant_prefix(entry):
@@ -454,7 +455,11 @@ class Sampler:
         self.attn_impl = attn_impl
         self.length_bucket = length_bucket
         # "int8": weight-only-quantized decode loop (ops/quant.py);
-        # "int8_kv": int8 weights + int8 KV caches (quantize_kv)
+        # "int8_kv": int8 weights + int8 KV caches (quantize_kv);
+        # "int4"/"int4_kv": packed-int4 weights (ops/int4_matmul.py
+        # Pallas kernel — half the per-token weight bytes again), KV
+        # bf16/int8 respectively.  int4 is OPT-IN pending its own
+        # rollout-quality A/B (see tools/ab_rollout_quant.py).
         self.decode_quant = (
             decode_quant if decode_quant is not None
             else os.environ.get("SPACER_DECODE_QUANT") or None
@@ -469,10 +474,11 @@ class Sampler:
         )
         # reject typos up front: a misspelled value silently falling back
         # to the XLA path would make a kernel benchmark measure nothing
-        if self.decode_quant not in (None, "int8", "int8_kv"):
+        if self.decode_quant not in (None, "int8", "int8_kv",
+                                     "int4", "int4_kv"):
             raise ValueError(
                 f"unknown decode_quant {self.decode_quant!r} "
-                "(expected None, 'int8' or 'int8_kv')")
+                "(expected None, 'int8', 'int8_kv', 'int4' or 'int4_kv')")
         if self.decode_impl not in (None, "xla", "flash", "flash_ref"):
             raise ValueError(
                 f"unknown decode_impl {self.decode_impl!r} "

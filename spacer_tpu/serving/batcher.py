@@ -324,10 +324,11 @@ class ContinuousBatcher:
         self.chunk_steps = chunk_steps
         self.dtype = dtype
 
-        if decode_quant not in (None, "int8", "int8_kv"):
+        if decode_quant not in (None, "int8", "int8_kv",
+                                "int4", "int4_kv"):
             raise ValueError(
                 f"unknown decode_quant {decode_quant!r} "
-                "(expected None, 'int8' or 'int8_kv')")
+                "(expected None, 'int8', 'int8_kv', 'int4' or 'int4_kv')")
         # speculative decoding (serving/speculative.py): position-major
         # caches only; greedy is bit-exact, sampling is exact-in-
         # distribution (rejection rule)
@@ -341,10 +342,12 @@ class ContinuousBatcher:
                     "drop decode_impl='flash'/'flash_ref'")
         layer_params = params["model"]["layers"]
         other = {k: v for k, v in params["model"].items() if k != "layers"}
-        if decode_quant in ("int8", "int8_kv"):
+        if decode_quant in ("int8", "int8_kv", "int4", "int4_kv"):
             from spacer_tpu.ops.quant import quantize_decode_weights
 
-            layer_params, head_q = jax.jit(quantize_decode_weights)(
+            layer_params, head_q = jax.jit(functools.partial(
+                quantize_decode_weights,
+                bits=4 if decode_quant.startswith("int4") else 8))(
                 layer_params, other.get("lm_head"))
             if head_q is not None:
                 other = dict(other)
@@ -359,10 +362,11 @@ class ContinuousBatcher:
         else:
             pshape = (self.R, self.Pmax, tc.num_kv_heads, tc.head_dim)
             tshape = (self.R, self.Cmax, tc.num_kv_heads, tc.head_dim)
-        if decode_quant == "int8_kv":
+        if decode_quant in ("int8_kv", "int4_kv"):
             # int8 codes + (R, T, Hkv) f32 scales, read via the same
-            # logit/prob scale-folding as the grouped decoder; fresh
-            # buffers per layer (donation must never see aliased inputs)
+            # logit/prob scale-folding as the grouped decoder (int4 only
+            # quantizes WEIGHTS further; KV stays int8); fresh buffers per
+            # layer (donation must never see aliased inputs)
             def mk_entry():
                 return (
                     jnp.zeros(pshape, jnp.int8), jnp.zeros(pshape, jnp.int8),

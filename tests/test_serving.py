@@ -125,6 +125,26 @@ def test_batcher_int8_kv_runs_with_refill():
     assert agree >= 0.5, agree
 
 
+def test_batcher_int4_kv_runs():
+    """int4_kv serving (packed-int4 weights + int8 caches): terminates
+    with correct budgets.  int4's ~13% weight RMS error scrambles greedy
+    argmaxes at tiny random scale, so only structural properties are
+    asserted here; ops-level parity lives in test_int4_matmul.py."""
+    cfg = tiny_config()
+    params = init_params(jax.random.key(2), cfg, jnp.float32)
+    reqs = _prompts(cfg, [5, 8], seed=4)
+    for i, r in enumerate(reqs):
+        r["max_new_tokens"] = [6, 4][i]
+    got = ContinuousBatcher(
+        cfg, params, decode_quant="int4_kv", slots=2, prompt_len=16,
+        max_new_tokens=6, eos_token_id=-1, temperature=0.0, chunk_steps=3,
+        dtype=jnp.float32).run(reqs)
+    assert [g.length for g in got] == [6, 4]
+    for g in got:
+        assert (g.sequences[:g.length] >= 0).all()
+        assert (g.sequences[:g.length] < cfg.text.vocab_size).all()
+
+
 def test_engine_generate_many_matches_generate():
     """QwenEngine.generate_many (continuous batching) returns the same
     greedy strings as the static-batched generate() for video prompts."""

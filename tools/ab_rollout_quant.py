@@ -121,6 +121,13 @@ def run_ab(mode, steps=50, seeds=(0, 1, 2)):
         treat_kw = {"decode_quant": "int8_kv"}
         base_name, treat_name = "bf16", "int8kv"
         out_file = "ab_rollout_quant.json"
+    elif mode == "rollout_quant4":
+        # int4 weights (ops/int4_matmul.py) vs the bf16 ground truth —
+        # gates whether int4_kv may ever leave opt-in status
+        base_kw = {"decode_quant": None}
+        treat_kw = {"decode_quant": "int4_kv"}
+        base_name, treat_name = "bf16", "int4kv"
+        out_file = "ab_rollout_quant4.json"
     elif mode == "moments":
         base_kw = {"decode_quant": "int8_kv", "moment_dtype": "float32"}
         treat_kw = {"decode_quant": "int8_kv", "moment_dtype": "int8"}
